@@ -1,0 +1,67 @@
+"""Task-space controllers: damped-least-squares IK and operational-space
+control with nullspace posture — JAX re-expressions of the reference's torch
+controllers (/root/reference/examples/franka_cube_ik_osc.py:53-79,
+franka_osc.py). Batched over envs; the 6x6/7x7 inverses are batched dense
+solves on the MXU.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..math.quat import orientation_error  # re-export for env code  # noqa: F401
+from ..utils.linalg import binv
+
+
+def control_ik(j_eef, dpose, damping: float = 0.05):
+    """u = J^T (J J^T + lambda^2 I)^-1 dpose.
+
+    j_eef: (N, 6, D), dpose: (N, 6) -> (N, D) joint position deltas.
+    """
+    jt = jnp.swapaxes(j_eef, -1, -2)
+    lmbda = jnp.eye(6, dtype=j_eef.dtype) * (damping**2)
+    A = j_eef @ jt + lmbda
+    y = jnp.linalg.solve(A, dpose[..., None])
+    return (jt @ y)[..., 0]
+
+
+def control_osc(
+    j_eef,
+    mm,
+    dpose,
+    dof_pos,
+    dof_vel,
+    hand_vel,
+    default_dof_pos,
+    kp: float = 150.0,
+    kd: float | None = None,
+    kp_null: float = 10.0,
+    kd_null: float | None = None,
+):
+    """Operational-space torque with nullspace posture hold.
+
+    j_eef: (N, 6, D) end-effector jacobian (arm dofs only)
+    mm: (N, D, D) mass matrix (arm dofs)
+    dpose: (N, 6) [pos_err, orn_err]; hand_vel: (N, 6) [lin, ang]
+    dof_pos/dof_vel: (N, D); default_dof_pos: (D,) posture target.
+    Returns torque (N, D).
+    """
+    if kd is None:
+        kd = 2.0 * jnp.sqrt(kp)
+    if kd_null is None:
+        kd_null = 2.0 * jnp.sqrt(kp_null)
+    jt = jnp.swapaxes(j_eef, -1, -2)
+    mm_inv = binv(mm)
+    m_eef_inv = j_eef @ mm_inv @ jt
+    m_eef = binv(m_eef_inv)
+    u = jt @ (m_eef @ (kp * dpose - kd * hand_vel)[..., None])
+
+    # nullspace posture torque (roboticsproceedings.org/rss07/p31.pdf, as in
+    # the reference's control_osc)
+    j_eef_inv = m_eef @ j_eef @ mm_inv
+    q_err = (default_dof_pos - dof_pos + jnp.pi) % (2 * jnp.pi) - jnp.pi
+    u_null = kd_null * -dof_vel + kp_null * q_err
+    u_null = mm @ u_null[..., None]
+    d = mm.shape[-1]
+    proj = jnp.eye(d, dtype=mm.dtype) - jt @ j_eef_inv
+    u = u + proj @ u_null
+    return u[..., 0]

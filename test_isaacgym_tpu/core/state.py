@@ -49,18 +49,24 @@ class SimState(NamedTuple):
     def num_envs(self):
         return self.root_pos.shape[0]
 
-    def root_state_tensor(self):
-        """(N*A, 13) view matching acquire_actor_root_state_tensor."""
+    def root_state_tensor(self, origins=None):
+        """(N*A, 13) view matching acquire_actor_root_state_tensor.
+
+        Positions are env-LOCAL when `origins` (N, 3) is given — IsaacGym
+        tensor-API semantics (the reference's franka_osc.py:144-147 compares
+        rb_states against env-local get_rigid_transform poses)."""
         n, a = self.root_pos.shape[:2]
+        pos = self.root_pos if origins is None else self.root_pos - origins[:, None, :]
         return jnp.concatenate(
-            [self.root_pos, self.root_quat, self.root_linvel, self.root_angvel],
+            [pos, self.root_quat, self.root_linvel, self.root_angvel],
             axis=-1,
         ).reshape(n * a, 13)
 
-    def body_state_tensor(self):
+    def body_state_tensor(self, origins=None):
         n, b = self.body_pos.shape[:2]
+        pos = self.body_pos if origins is None else self.body_pos - origins[:, None, :]
         return jnp.concatenate(
-            [self.body_pos, self.body_quat, self.body_linvel, self.body_angvel],
+            [pos, self.body_quat, self.body_linvel, self.body_angvel],
             axis=-1,
         ).reshape(n * b, 13)
 
@@ -68,10 +74,12 @@ class SimState(NamedTuple):
         n, d = self.dof_pos.shape[:2] if self.dof_pos.ndim > 1 else (self.dof_pos.shape[0], 0)
         return jnp.stack([self.dof_pos, self.dof_vel], axis=-1).reshape(n * d, 2)
 
-    def with_root_state_tensor(self, tensor):
-        """Functional set_actor_root_state_tensor."""
+    def with_root_state_tensor(self, tensor, origins=None):
+        """Functional set_actor_root_state_tensor (env-local in, if origins)."""
         n, a = self.root_pos.shape[:2]
         t = tensor.reshape(n, a, 13)
+        if origins is not None:
+            t = t.at[..., 0:3].add(origins[:, None, :])
         return self._replace(
             root_pos=t[..., 0:3],
             root_quat=t[..., 3:7],

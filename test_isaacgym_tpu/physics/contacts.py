@@ -32,6 +32,7 @@ from ..core.scene import (
     Scene,
 )
 from ..math.quat import quat_mul, quat_rotate
+from ..utils.linalg import binv
 
 _BOX_CORNERS = np.array(
     [[sx, sy, sz] for sx in (-1, 1) for sy in (-1, 1) for sz in (-1, 1)],
@@ -408,7 +409,7 @@ class ContactSolver:
 
         # --- Jacobi impulse iterations ---
         inv_m = 1.0 / m  # (N, F)
-        inv_I = jnp.linalg.inv(I_w)  # (N, F, 3, 3)
+        inv_I = binv(I_w)  # (N, F, 3, 3)
         inv_m_a = inv_m[:, a_idx]
         inv_m_b = jnp.where(b_is_body[None], inv_m[:, b_safe], 0.0)
         inv_I_a = inv_I[:, a_idx]

@@ -99,60 +99,68 @@ def crba(topo: ArtTopo, S, m, com_rel, ic_w):
             (cm[p], cc[p], ci[p]), (cm[i], cc[i], ci[i])
         )
 
-    batch = S.shape[:-2]
-    M = jnp.zeros(batch + (nv, nv), S.dtype)
-
-    # ancestor chains (static)
-    ancestors = []
+    # ancestor sets (static)
+    anc = []
     for i in range(L):
-        chain = []
+        chain = set()
         x = i
         while x != -1:
-            chain.append(x)
+            chain.add(x)
             x = topo.parent[x]
-        ancestors.append(chain)
+        anc.append(chain)
+    link_of_dof = {topo.dof_of_link[i]: i for i in range(L) if topo.dof_of_link[i] >= 0}
 
-    # joint-joint block
-    for i in range(L):
-        d_i = topo.dof_of_link[i]
-        if d_i < 0:
-            continue
-        F_i = spatial.inertia_mul(cm[i], cc[i], ci[i], S[..., i, :])  # (..., 6)
-        for j in ancestors[i]:
-            d_j = topo.dof_of_link[j]
-            if d_j < 0:
-                continue
-            v = spatial.dot(F_i, S[..., j, :])
-            M = M.at[..., base + d_i, base + d_j].set(v)
-            if d_i != d_j:
-                M = M.at[..., base + d_j, base + d_i].set(v)
-        if not topo.fixed_base:
-            # base-joint coupling: base subspace = identity about O
-            # rows of F_i directly: [n_O(3); f(3)] pair with base cols
-            # base col k (k<3: translation e_k, k>=3: rotation e_{k-3})
-            n_, f_ = F_i[..., :3], F_i[..., 3:]
-            for k in range(3):
-                M = M.at[..., base + d_i, k].set(f_[..., k])
-                M = M.at[..., k, base + d_i].set(f_[..., k])
-                M = M.at[..., base + d_i, 3 + k].set(n_[..., k])
-                M = M.at[..., 3 + k, base + d_i].set(n_[..., k])
+    zero = cm[0] * 0.0  # (...,) sharded scalar
+    F = {}
+    for d in range(D):
+        i = link_of_dof[d]
+        F[d] = spatial.inertia_mul(cm[i], cc[i], ci[i], S[..., i, :])  # (..., 6)
 
+    # assemble as nested stacks (no scatters -> sharding-friendly)
+    rows = []
     if not topo.fixed_base:
-        # base-base block: spatial inertia of whole tree about O
         m0, c0, i0 = cm[0], cc[0], ci[0]
-        eye = jnp.eye(3, dtype=S.dtype)
         cx = spatial.skew(c0)
-        # translation-translation: m * I
-        M = M.at[..., 0:3, 0:3].set(m0[..., None, None] * eye)
-        # translation-rotation: velocity from rotation e: lin momentum m*(e x c)
-        # pairing f with translation rows -> m * skew(c)^T ... derive via
-        # I * [e_rot] = [Ic e + c x (m (e x c)); m (e x c)]
-        mc = m0[..., None, None] * cx  # m * skew(c)
-        M = M.at[..., 0:3, 3:6].set(-mc)  # f part of rotation cols: m (e x c) = -m c x e
-        M = M.at[..., 3:6, 0:3].set(jnp.swapaxes(-mc, -1, -2))
-        ccT = jnp.einsum("...ij,...kj->...ik", cx, cx)  # cx @ cx^T
-        M = M.at[..., 3:6, 3:6].set(i0 + m0[..., None, None] * ccT)
-    return M
+        eye = jnp.eye(3, dtype=S.dtype)
+        tt = m0[..., None, None] * eye  # (..., 3, 3)
+        tr = -(m0[..., None, None] * cx)
+        ccT = jnp.einsum("...ij,...kj->...ik", cx, cx)
+        rr = i0 + m0[..., None, None] * ccT
+        # joint coupling columns for base rows
+        jt_f = (
+            jnp.stack([F[d][..., 3:6] for d in range(D)], axis=-1)
+            if D
+            else jnp.zeros(tt.shape[:-1] + (0,), S.dtype)
+        )  # (..., 3, D)
+        jt_n = (
+            jnp.stack([F[d][..., 0:3] for d in range(D)], axis=-1)
+            if D
+            else jnp.zeros(tt.shape[:-1] + (0,), S.dtype)
+        )
+        top = jnp.concatenate([tt, tr, jt_f], axis=-1)  # (..., 3, nv)
+        mid = jnp.concatenate([jnp.swapaxes(tr, -1, -2), rr, jt_n], axis=-1)
+        rows.append(top)
+        rows.append(mid)
+
+    joint_rows = []
+    for di in range(D):
+        i = link_of_dof[di]
+        vals = []
+        if not topo.fixed_base:
+            vals.extend([F[di][..., 3 + k] for k in range(3)])
+            vals.extend([F[di][..., k] for k in range(3)])
+        for dj in range(D):
+            j = link_of_dof[dj]
+            if j in anc[i]:
+                vals.append(spatial.dot(F[di], S[..., j, :]))
+            elif i in anc[j]:
+                vals.append(spatial.dot(F[dj], S[..., i, :]))
+            else:
+                vals.append(zero)
+        joint_rows.append(jnp.stack(vals, axis=-1))  # (..., nv)
+    if joint_rows:
+        rows.append(jnp.stack(joint_rows, axis=-2))  # (..., D, nv)
+    return jnp.concatenate(rows, axis=-2) if len(rows) > 1 else rows[0]
 
 
 def rnea_bias(topo: ArtTopo, S, m, com_rel, ic_w, vel_sp, qd, gravity, f_ext=None):
@@ -191,19 +199,22 @@ def rnea_bias(topo: ArtTopo, S, m, com_rel, ic_w, vel_sp, qd, gravity, f_ext=Non
             f_i = f_i - f_ext[..., i, :]
         f.append(f_i)
 
-    C = jnp.zeros(batch + (nv,), vel_sp.dtype)
+    cvals = {}
     for i in range(L - 1, -1, -1):
         d = topo.dof_of_link[i]
         if d >= 0:
-            C = C.at[..., base + d].set(spatial.dot(S[..., i, :], f[i]))
+            cvals[d] = spatial.dot(S[..., i, :], f[i])
         p = topo.parent[i]
         if p >= 0:
             f[p] = f[p] + f[i]
+    parts = []
     if not topo.fixed_base:
         # base rows: translation rows pair with f, rotation rows with n
-        C = C.at[..., 0:3].set(f[0][..., 3:6])
-        C = C.at[..., 3:6].set(f[0][..., 0:3])
-    return C
+        parts.append(f[0][..., 3:6])
+        parts.append(f[0][..., 0:3])
+    if D:
+        parts.append(jnp.stack([cvals[d] for d in range(D)], axis=-1))
+    return jnp.concatenate(parts, axis=-1)
 
 
 def spatial_velocities(topo: ArtTopo, pos, lin, ang, origin):

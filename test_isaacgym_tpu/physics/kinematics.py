@@ -163,6 +163,42 @@ def joint_world_frames(topo: ArtTopo, pos, quat):
     return jnp.stack(anchors, axis=-2), jnp.stack(axes, axis=-2)
 
 
+def body_jacobian(topo: ArtTopo, pos, quat, link: int):
+    """Jacobian of ONE link (..., 6, nv) — what task-space controllers need;
+    avoids materializing the full per-link tensor in the hot loop."""
+    D = topo.num_dofs
+    anchors, axes = joint_world_frames(topo, pos, quat)
+    chain = set()
+    x = link
+    while x != -1:
+        chain.add(x)
+        x = topo.parent[x]
+    link_of_dof = {topo.dof_of_link[i]: i for i in range(topo.num_links) if topo.dof_of_link[i] >= 0}
+    zero3 = pos[..., 0, :] * 0.0
+    cols = []
+    if not topo.fixed_base:
+        rel = pos[..., link, :] - pos[..., 0, :]
+        for k in range(3):
+            e = zero3 + jnp.eye(3, dtype=pos.dtype)[k]
+            cols.append(jnp.concatenate([e, zero3], axis=-1))
+        for k in range(3):
+            e = zero3 + jnp.eye(3, dtype=pos.dtype)[k]
+            cols.append(jnp.concatenate([jnp.cross(e, rel), e], axis=-1))
+    for d in range(D):
+        i = link_of_dof[d]
+        if i not in chain:
+            cols.append(jnp.concatenate([zero3, zero3], axis=-1))
+        elif topo.jtype[i] == JT_REVOLUTE:
+            s_i = axes[..., i, :]
+            lin = jnp.cross(s_i, pos[..., link, :] - anchors[..., i, :])
+            cols.append(jnp.concatenate([lin, s_i], axis=-1))
+        elif topo.jtype[i] == JT_PRISMATIC:
+            cols.append(jnp.concatenate([axes[..., i, :], zero3], axis=-1))
+        else:
+            cols.append(jnp.concatenate([zero3, zero3], axis=-1))
+    return jnp.stack(cols, axis=-1)  # (..., 6, nv)
+
+
 def jacobian(topo: ArtTopo, pos, quat):
     """Geometric Jacobians for every link: (..., Ls, 6, nv) mapping generalized
     velocity to [linvel(3); angvel(3)] of each link origin — row layout matches
@@ -177,42 +213,43 @@ def jacobian(topo: ArtTopo, pos, quat):
     base = 0 if topo.fixed_base else 6
     nv = base + D
     anchors, axes = joint_world_frames(topo, pos, quat)
-    batch = pos.shape[:-2]
-    J = jnp.zeros(batch + (L, 6, nv), pos.dtype)
-    if not topo.fixed_base:
-        eye = jnp.eye(3, dtype=pos.dtype)
-        # base translation: unit linear velocity on every link
-        J = J.at[..., :, 0:3, 0:3].set(jnp.broadcast_to(eye, batch + (L, 3, 3)))
-        # base rotation about root origin: lin = e x (p_link - p_root), ang = e
-        rel = pos - pos[..., 0:1, :]  # (..., L, 3)
-        for k in range(3):
-            e = jnp.zeros(3, pos.dtype).at[k].set(1.0)
-            J = J.at[..., :, 0:3, 3 + k].set(jnp.cross(jnp.broadcast_to(e, rel.shape), rel))
-            J = J.at[..., :, 3:6, 3 + k].set(e)
-    # ancestor table (static)
-    for i in range(L):
-        d = topo.dof_of_link[i]
-        if d < 0:
-            continue
-        col = base + d
-        a_i = anchors[..., i, :]
-        s_i = axes[..., i, :]
-        # every link b that has i as ancestor (including i itself)
-        desc = []
-        for b in range(L):
-            x = b
-            while x != -1:
-                if x == i:
-                    desc.append(b)
-                    break
-                x = topo.parent[x]
-        if topo.jtype[i] == JT_REVOLUTE:
-            for b in desc:
-                J = J.at[..., b, 0:3, col].set(
-                    jnp.cross(s_i, pos[..., b, :] - a_i)
-                )
-                J = J.at[..., b, 3:6, col].set(s_i)
-        elif topo.jtype[i] == JT_PRISMATIC:
-            for b in desc:
-                J = J.at[..., b, 0:3, col].set(s_i)
-    return J
+
+    # static ancestor table: anc[b] = set of links on b's chain to root
+    anc = []
+    for b in range(L):
+        chain = set()
+        x = b
+        while x != -1:
+            chain.add(x)
+            x = topo.parent[x]
+        anc.append(chain)
+
+    # link with dof index d -> link id
+    link_of_dof = {topo.dof_of_link[i]: i for i in range(L) if topo.dof_of_link[i] >= 0}
+
+    zero3 = pos[..., 0, :] * 0.0  # (..., 3), inherits batch sharding
+    rows = []
+    for b in range(L):
+        cols = []
+        if not topo.fixed_base:
+            rel = pos[..., b, :] - pos[..., 0, :]
+            for k in range(3):  # base translation cols: lin = e_k, ang = 0
+                e = zero3 + jnp.eye(3, dtype=pos.dtype)[k]
+                cols.append(jnp.concatenate([e, zero3], axis=-1))
+            for k in range(3):  # base rotation cols: lin = e_k x rel, ang = e_k
+                e = zero3 + jnp.eye(3, dtype=pos.dtype)[k]
+                cols.append(jnp.concatenate([jnp.cross(e, rel), e], axis=-1))
+        for d in range(D):
+            i = link_of_dof[d]
+            if i not in anc[b]:
+                cols.append(jnp.concatenate([zero3, zero3], axis=-1))
+            elif topo.jtype[i] == JT_REVOLUTE:
+                s_i = axes[..., i, :]
+                lin = jnp.cross(s_i, pos[..., b, :] - anchors[..., i, :])
+                cols.append(jnp.concatenate([lin, s_i], axis=-1))
+            elif topo.jtype[i] == JT_PRISMATIC:
+                cols.append(jnp.concatenate([axes[..., i, :], zero3], axis=-1))
+            else:
+                cols.append(jnp.concatenate([zero3, zero3], axis=-1))
+        rows.append(jnp.stack(cols, axis=-1))  # (..., 6, nv)
+    return jnp.stack(rows, axis=-3)  # (..., L, 6, nv)
