@@ -156,3 +156,30 @@ class TriangleMeshParams:
     static_friction: float = 1.0
     dynamic_friction: float = 1.0
     restitution: float = 0.0
+
+    def __post_init__(self):
+        if self.transform is None:
+            from ..gymapi.mathtypes import Transform
+
+            self.transform = Transform()
+
+
+@dataclasses.dataclass
+class HeightFieldParams:
+    """gym.add_heightfield parameter block."""
+
+    nbRows: int = 0
+    nbColumns: int = 0
+    column_scale: float = 1.0
+    row_scale: float = 1.0
+    vertical_scale: float = 1.0
+    transform: Optional[object] = None
+    static_friction: float = 1.0
+    dynamic_friction: float = 1.0
+    restitution: float = 0.0
+
+    def __post_init__(self):
+        if self.transform is None:
+            from ..gymapi.mathtypes import Transform
+
+            self.transform = Transform()

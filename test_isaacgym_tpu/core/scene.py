@@ -197,6 +197,37 @@ class ShapeSet:
 
 
 @dataclasses.dataclass
+class HeightField:
+    """Static terrain heightfield — the TPU-native collision representation
+    for triangle-mesh terrain (SURVEY.md N10: terrain stays a heightfield;
+    the trimesh is for rendering). data is in METERS (vertical scale applied);
+    row i, col j sits at world (offset_x + i*hs, offset_y + j*hs)."""
+
+    data: np.ndarray  # (R, C) float32 meters
+    horizontal_scale: float
+    offset_x: float = 0.0
+    offset_y: float = 0.0
+
+
+@dataclasses.dataclass
+class AttractorMeta:
+    """One 6-DOF virtual spring-damper on a body (template; per-env gains and
+    targets live in PhysParams/Actions — SURVEY.md N5,
+    /root/reference/examples/franka_attractor.py:89-133)."""
+
+    slot: int  # actor slot
+    body: int  # env body index
+    offset_pos: np.ndarray  # (3,) attachment offset in link frame
+    offset_quat: np.ndarray  # (4,)
+    axes: int  # AXIS_* bitmask
+    stiffness: float
+    damping: float
+    force_limit: float
+    target_pos: np.ndarray  # (3,) initial world target
+    target_quat: np.ndarray  # (4,)
+
+
+@dataclasses.dataclass
 class ActorMeta:
     """Host-side registry entry for one actor slot (per env)."""
 
@@ -240,6 +271,10 @@ class Scene:
     angular_damping: np.ndarray  # (B,)
     # terrain heightfield (optional, set via add_heightfield)
     heightfield: Optional[object] = None
+    # attractor templates (env 0 layout; all envs homogeneous)
+    attractors: List[AttractorMeta] = dataclasses.field(default_factory=list)
+    # per-env attractor init values (N, T, .) used to seed Actions/PhysParams
+    attractor_init: Optional[dict] = None
 
     @property
     def num_actors_per_env(self):
@@ -271,6 +306,7 @@ class SceneBuilder:
         self.env_origins: List[np.ndarray] = []
         self._grid_cols = 1
         self.heightfield = None
+        self.attractors: List[List[AttractorMeta]] = []
 
     # -- build API ----------------------------------------------------------
     def add_ground(self, plane: PlaneParams):
@@ -316,6 +352,92 @@ class SceneBuilder:
             )
         )
         return len(actors) - 1
+
+    def add_heightfield(
+        self,
+        heightfield_raw: np.ndarray,
+        horizontal_scale: float,
+        vertical_scale: float = 1.0,
+        offset_x: float = 0.0,
+        offset_y: float = 0.0,
+    ):
+        """gym.add_heightfield equivalent; also the collision backend for
+        add_triangle_mesh'ed terrain (examples/terrain_creation.py:113-119)."""
+        self.heightfield = HeightField(
+            data=np.asarray(heightfield_raw, np.float32) * vertical_scale,
+            horizontal_scale=horizontal_scale,
+            offset_x=offset_x,
+            offset_y=offset_y,
+        )
+
+    def add_trimesh_as_heightfield(self, vertices, triangles, offset_x=0.0, offset_y=0.0):
+        """Rasterize a terrain trimesh back into a heightfield for contact.
+        Exact when the mesh is a regular grid (the terrain_utils output);
+        otherwise bins vertices by max-z per cell."""
+        v = np.asarray(vertices, np.float32).reshape(-1, 3)
+        xs = np.unique(np.round(v[:, 0], 6))
+        ys = np.unique(np.round(v[:, 1], 6))
+        if len(xs) * len(ys) == len(v) and len(xs) > 1 and len(ys) > 1:
+            hs = float(np.diff(xs).min())
+            order = np.lexsort((np.round(v[:, 1], 6), np.round(v[:, 0], 6)))
+            grid = v[order, 2].reshape(len(xs), len(ys))
+            self.heightfield = HeightField(
+                data=grid,
+                horizontal_scale=hs,
+                offset_x=float(xs[0]) + offset_x,
+                offset_y=float(ys[0]) + offset_y,
+            )
+            return
+        # irregular mesh: bin by max z
+        n = max(int(np.sqrt(len(v))), 2)
+        x0, x1 = v[:, 0].min(), v[:, 0].max()
+        y0, y1 = v[:, 1].min(), v[:, 1].max()
+        hs = max((x1 - x0), (y1 - y0)) / n
+        R = int((x1 - x0) / hs) + 2
+        C = int((y1 - y0) / hs) + 2
+        grid = np.full((R, C), v[:, 2].min(), np.float32)
+        xi = np.clip(((v[:, 0] - x0) / hs).astype(int), 0, R - 1)
+        yi = np.clip(((v[:, 1] - y0) / hs).astype(int), 0, C - 1)
+        np.maximum.at(grid, (xi, yi), v[:, 2])
+        self.heightfield = HeightField(
+            data=grid, horizontal_scale=hs,
+            offset_x=float(x0) + offset_x, offset_y=float(y0) + offset_y,
+        )
+
+    def add_attractor(
+        self,
+        env_idx: int,
+        slot: int,
+        body: int,
+        offset_pos=(0, 0, 0),
+        offset_quat=(0, 0, 0, 1),
+        axes: int = 63,
+        stiffness: float = 0.0,
+        damping: float = 0.0,
+        force_limit: float = np.inf,
+        target_pos=(0, 0, 0),
+        target_quat=(0, 0, 0, 1),
+    ) -> int:
+        """body is the asset-local rigid body index of the actor at `slot`
+        (resolved to the env body axis at finalize)."""
+        while len(self.attractors) < len(self.envs):
+            self.attractors.append([])
+        lst = self.attractors[env_idx]
+        lst.append(
+            AttractorMeta(
+                slot=slot,
+                body=body,
+                offset_pos=np.asarray(offset_pos, np.float64),
+                offset_quat=np.asarray(offset_quat, np.float64),
+                axes=axes,
+                stiffness=stiffness,
+                damping=damping,
+                force_limit=force_limit,
+                target_pos=np.asarray(target_pos, np.float64),
+                target_quat=np.asarray(target_quat, np.float64),
+            )
+        )
+        return len(lst) - 1
 
     # -- finalize -----------------------------------------------------------
     def finalize(self):
@@ -529,6 +651,40 @@ class SceneBuilder:
                     p.asset.dof_properties()
                 )
 
+        # --- attractors ------------------------------------------------------
+        while len(self.attractors) < n_envs:
+            self.attractors.append([])
+        T = len(self.attractors[0])
+        for e, lst in enumerate(self.attractors):
+            assert len(lst) == T, "all envs must have identical attractor layout"
+        attr_template = []
+        for t, a in enumerate(self.attractors[0]):
+            m = actors[a.slot]
+            attr_template.append(
+                dataclasses.replace(a, body=m.body_start + a.body)
+            )
+        attr_init = {
+            "stiffness": np.array(
+                [[a.stiffness for a in lst] for lst in self.attractors], np.float32
+            ).reshape(n_envs, T),
+            "damping": np.array(
+                [[a.damping for a in lst] for lst in self.attractors], np.float32
+            ).reshape(n_envs, T),
+            "force_limit": np.array(
+                [[a.force_limit for a in lst] for lst in self.attractors], np.float32
+            ).reshape(n_envs, T),
+            "target_pos": np.array(
+                [
+                    [self.env_origins[e] + a.target_pos for a in lst]
+                    for e, lst in enumerate(self.attractors)
+                ],
+                np.float32,
+            ).reshape(n_envs, T, 3),
+            "target_quat": np.array(
+                [[a.target_quat for a in lst] for lst in self.attractors], np.float32
+            ).reshape(n_envs, T, 4),
+        }
+
         scene = Scene(
             sim_params=self.sim_params,
             num_envs=n_envs,
@@ -549,6 +705,8 @@ class SceneBuilder:
             linear_damping=lin_damp,
             angular_damping=ang_damp,
             heightfield=self.heightfield,
+            attractors=attr_template,
+            attractor_init=attr_init,
         )
 
         # --- initial state -------------------------------------------------
@@ -603,6 +761,11 @@ class SceneBuilder:
             body_disable_gravity=jnp.asarray(np.tile(body_dis_grav, (n_envs, 1))),
             shape_friction=tile(shapes.friction) if shapes.count else jnp.zeros((n_envs, 0), f32),
             shape_restitution=tile(shapes.restitution) if shapes.count else jnp.zeros((n_envs, 0), f32),
+            shape_size=tile(shapes.size) if shapes.count else jnp.zeros((n_envs, 0, 3), f32),
+            shape_pos=tile(shapes.pos) if shapes.count else jnp.zeros((n_envs, 0, 3), f32),
+            attractor_stiffness=jnp.asarray(attr_init["stiffness"]),
+            attractor_damping=jnp.asarray(attr_init["damping"]),
+            attractor_force_limit=jnp.asarray(attr_init["force_limit"]),
             gravity=jnp.asarray(np.asarray(self.sim_params.gravity, f32)),
         )
         return scene, state, params

@@ -30,8 +30,20 @@ class Simulator:
         self.state = self.stepper.refresh_body_state(state, params)
         self.initial_state = self.state
         self.actions = zero_actions(
-            scene.num_envs, scene.num_dofs_per_env, scene.num_bodies_per_env
+            scene.num_envs,
+            scene.num_dofs_per_env,
+            scene.num_bodies_per_env,
+            num_attractors=len(scene.attractors),
         )
+        if scene.attractors:
+            ai = scene.attractor_init
+            self.actions = self.actions._replace(
+                attractor_target_pos=jnp.asarray(ai["target_pos"]),
+                attractor_target_quat=jnp.asarray(ai["target_quat"]),
+                attractor_enabled=jnp.ones(
+                    ai["stiffness"].shape, dtype=bool
+                ),
+            )
         self._step_fn = jax.jit(self.stepper.step)
 
     # -- stepping -----------------------------------------------------------

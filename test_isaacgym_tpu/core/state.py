@@ -115,6 +115,15 @@ class PhysParams(NamedTuple):
     # per-shape (N, S)
     shape_friction: jax.Array
     shape_restitution: jax.Array
+    # runtime shape geometry — sizes/offsets live here (not in the static
+    # scene) so set_actor_scale and domain randomization are pure array
+    # updates (/root/reference/examples/actor_scaling.py:126)
+    shape_size: jax.Array  # (N, S, 3)
+    shape_pos: jax.Array  # (N, S, 3) shape offset in link frame
+    # per-attractor (N, T) — (/root/reference/examples/franka_attractor.py:89-94)
+    attractor_stiffness: jax.Array
+    attractor_damping: jax.Array
+    attractor_force_limit: jax.Array
     # globals
     gravity: jax.Array  # (3,)
 

@@ -96,6 +96,18 @@ class ContactSolver:
         if scene.static_group is not None:
             for b in scene.static_group.body_slot:
                 static_shapes.extend(np.nonzero(sh.body_slot == b)[0].tolist())
+        # articulated-link shapes participate as KINEMATIC colliders: free
+        # bodies collide against them at the links' FK poses/velocities
+        # (one-way coupling — what gripper-grasps-cube scenes need,
+        # franka_cube_ik_osc.py:336-406; two-way joint-space impulses are the
+        # phase-2 roadmap). They carry their owner's velocity so friction
+        # drags grasped objects along with the moving hand.
+        link_shapes = []
+        for g in scene.art_groups:
+            for slot_ in g.slots:
+                meta = scene.actors[slot_]
+                for b in range(meta.body_start, meta.body_start + meta.body_count):
+                    link_shapes.extend(np.nonzero(sh.body_slot == b)[0].tolist())
 
         rows = {k: [] for k in ["a", "b", "kind", "sa", "sb", "slot"]}
 
@@ -107,8 +119,8 @@ class ContactSolver:
             rows["sb"].append(sb)
             rows["slot"].append(slot)
 
-        # --- plane contacts ---
-        if scene.ground is not None:
+        # --- plane / heightfield contacts ---
+        if scene.ground is not None or scene.heightfield is not None:
             for fi, idxs in enumerate(free_shape_lists):
                 for s in idxs:
                     k = sh.kind[s]
@@ -121,9 +133,9 @@ class ContactSolver:
                         for c in range(8):
                             add(fi, -1, K_BOX_PLANE, s, -1, c)
 
-        # --- pairwise contacts (free-free and free-static) ---
+        # --- pairwise contacts (free-free, free-static, free-link) ---
         all_dyn = [(s, shape_free[s]) for idxs in free_shape_lists for s in idxs]
-        all_stat = [(s, -1) for s in static_shapes]
+        all_stat = [(s, -1) for s in static_shapes + link_shapes]
 
         def kind_code(ka, kb):
             m = {SHAPE_MESH: SHAPE_BOX}  # meshes collide as their bounding boxes (v1)
@@ -178,6 +190,14 @@ class ContactSolver:
             slot=np.asarray(rows["slot"], np.int32),
         )
         self.num_contacts = len(self.job.body_a)
+        # heightfield terrain (SURVEY.md N10: contact stays heightfield-native)
+        hf = scene.heightfield
+        if hf is not None:
+            self.hf_data = jnp.asarray(hf.data, jnp.float32)
+            self.hf_scale = float(hf.horizontal_scale)
+            self.hf_off = (float(hf.offset_x), float(hf.offset_y))
+        else:
+            self.hf_data = None
         # plane params
         pl = scene.ground
         if pl is not None:
@@ -209,7 +229,8 @@ class ContactSolver:
         Returns (v, w, contact_force (N, F, 3)).
         """
         N, F = m.shape
-        zero_cf = jnp.zeros((N, F, 3), v.dtype)
+        B_env = self.scene.num_bodies_per_env
+        zero_cf = jnp.zeros((N, B_env, 3), v.dtype)
         if not self.enabled:
             return v, w, zero_cf
 
@@ -233,7 +254,7 @@ class ContactSolver:
             of = np.maximum(owner_free, 0)
             bp = jnp.where(is_free, p0[:, of], state.body_pos[:, owner_body])
             bq = jnp.where(is_free, q0[:, of], state.body_quat[:, owner_body])
-            spos = jnp.asarray(sh.pos[s_np], jnp.float32)
+            spos = params.shape_pos[:, jnp.asarray(s_np)]  # (N, C, 3)
             squat = jnp.asarray(sh.quat[s_np], jnp.float32)
             return bp + quat_rotate(bq, spos), quat_mul(bq, squat)
 
@@ -241,8 +262,9 @@ class ContactSolver:
         sb_safe = np.maximum(job.shape_b, 0)
         pb, qb = shape_pose(sb_safe)
 
-        size_a = jnp.asarray(sh.size[job.shape_a], jnp.float32)
-        size_b = jnp.asarray(sh.size[sb_safe], jnp.float32)
+        # runtime sizes (set_actor_scale / domain randomization) — (N, C, 3)
+        size_a = params.shape_size[:, jnp.asarray(job.shape_a)]
+        size_b = params.shape_size[:, jnp.asarray(sb_safe)]
         kind = job.kind
         slot = job.slot
 
@@ -254,48 +276,58 @@ class ContactSolver:
         pn = jnp.asarray(self.plane_n)
         pd = jnp.asarray(self.plane_d)
 
-        # vectorized over all contacts; select by kind via where masks
-        r_a = size_a[:, 0]
-        hl_a = size_a[:, 1]
-        r_b = size_b[:, 0]
+        if self.hf_data is not None:
+            def ground_sdf(p):
+                return _heightfield_sdf(
+                    self.hf_data, self.hf_scale, self.hf_off, p
+                )
+        else:
+            def ground_sdf(p):
+                d = jnp.einsum("nck,k->nc", p, pn) - pd
+                return d, jnp.broadcast_to(pn, p.shape)
 
-        # sphere-plane
-        d_sp = jnp.einsum("nck,k->nc", pa, pn) - pd
-        pt_sp = pa - pn * r_a[None, :, None]
-        dep_sp = r_a[None, :] - d_sp
+        # vectorized over all contacts; select by kind via where masks
+        r_a = size_a[..., 0]   # (N, C)
+        hl_a = size_a[..., 1]
+        r_b = size_b[..., 0]
+
+        # sphere-plane/terrain
+        d_sp, n_sp = ground_sdf(pa)
+        pt_sp = pa - n_sp * r_a[..., None]
+        dep_sp = r_a - d_sp
 
         # capsule-plane: endpoint spheres along local z
         zdir = quat_rotate(qa, jnp.array([0.0, 0, 1.0]))
         end_sign = jnp.asarray(np.where(job.slot == 0, 1.0, -1.0), jnp.float32)
-        cap_end = pa + zdir * (hl_a * end_sign)[None, :, None]
-        d_cp = jnp.einsum("nck,k->nc", cap_end, pn) - pd
-        pt_cp = cap_end - pn * r_a[None, :, None]
-        dep_cp = r_a[None, :] - d_cp
+        cap_end = pa + zdir * (hl_a * end_sign)[..., None]
+        d_cp, n_cp = ground_sdf(cap_end)
+        pt_cp = cap_end - n_cp * r_a[..., None]
+        dep_cp = r_a - d_cp
 
         # box-plane: corners
         corners = jnp.asarray(_BOX_CORNERS)[job.slot]  # (C, 3)
         corner_w = pa + quat_rotate(qa, corners * size_a)
-        d_bp = jnp.einsum("nck,k->nc", corner_w, pn) - pd
+        d_bp, n_bp = ground_sdf(corner_w)
         dep_bp = -d_bp
 
         # sphere-sphere
         dvec = pa - pb
         dist = jnp.linalg.norm(dvec, axis=-1).clip(1e-9)
         n_ss = dvec / dist[..., None]
-        dep_ss = (r_a + r_b)[None, :] - dist
-        pt_ss = pb + n_ss * r_b[None, :, None]
+        dep_ss = (r_a + r_b) - dist
+        pt_ss = pb + n_ss * r_b[..., None]
 
         # sphere-box: closest point on box b to center a
         rel = quat_rotate(_qconj(qb), pa - pb)
-        clamped = jnp.clip(rel, -size_b[None], size_b[None])
-        inside = jnp.all(jnp.abs(rel) <= size_b[None], axis=-1)
+        clamped = jnp.clip(rel, -size_b, size_b)
+        inside = jnp.all(jnp.abs(rel) <= size_b, axis=-1)
         # if inside, push out along min-penetration axis
-        pen_ax = size_b[None] - jnp.abs(rel)
+        pen_ax = size_b - jnp.abs(rel)
         ax = jnp.argmin(pen_ax, axis=-1)
         sgn = jnp.sign(jnp.take_along_axis(rel, ax[..., None], -1))
         surf = jnp.where(
             inside[..., None],
-            _scatter_axis(clamped, ax, sgn[..., 0] * jnp.take_along_axis(size_b[None].repeat(N, 0), ax[..., None], -1)[..., 0]),
+            _scatter_axis(clamped, ax, sgn[..., 0] * jnp.take_along_axis(size_b, ax[..., None], -1)[..., 0]),
             clamped,
         )
         cp_w = pb + quat_rotate(qb, surf)
@@ -306,44 +338,42 @@ class ContactSolver:
             quat_rotate(qb, _axis_vec(ax, sgn[..., 0])),
             dvec_sb / dist_sb[..., None],
         )
-        dep_sb = jnp.where(inside, r_a[None] + dist_sb, r_a[None] - dist_sb)
+        dep_sb = jnp.where(inside, r_a + dist_sb, r_a - dist_sb)
         pt_sb = cp_w
 
         # sphere-capsule: closest point on capsule-b segment to a
         zb = quat_rotate(qb, jnp.array([0.0, 0, 1.0]))
-        hl_b = size_b[:, 1]
-        t = jnp.clip(
-            jnp.einsum("nck,nck->nc", pa - pb, zb), -hl_b[None], hl_b[None]
-        )
+        hl_b = size_b[..., 1]
+        t = jnp.clip(jnp.einsum("nck,nck->nc", pa - pb, zb), -hl_b, hl_b)
         seg = pb + zb * t[..., None]
         dvec_sc = pa - seg
         dist_sc = jnp.linalg.norm(dvec_sc, axis=-1).clip(1e-9)
         n_sc = dvec_sc / dist_sc[..., None]
-        dep_sc = (r_a + r_b)[None, :] - dist_sc
-        pt_sc = seg + n_sc * r_b[None, :, None]
+        dep_sc = (r_a + r_b) - dist_sc
+        pt_sc = seg + n_sc * r_b[..., None]
 
         # capsule-capsule: segment-segment closest points
         za = zdir
-        a0 = pa - za * hl_a[None, :, None]
-        a1 = pa + za * hl_a[None, :, None]
-        b0 = pb - zb * hl_b[None, :, None]
-        b1 = pb + zb * hl_b[None, :, None]
+        a0 = pa - za * hl_a[..., None]
+        a1 = pa + za * hl_a[..., None]
+        b0 = pb - zb * hl_b[..., None]
+        b1 = pb + zb * hl_b[..., None]
         pA, pB = _segment_closest(a0, a1, b0, b1)
         dvec_cc = pA - pB
         dist_cc = jnp.linalg.norm(dvec_cc, axis=-1).clip(1e-9)
         n_cc = dvec_cc / dist_cc[..., None]
-        dep_cc = (r_a + r_b)[None, :] - dist_cc
-        pt_cc = pB + n_cc * r_b[None, :, None]
+        dep_cc = (r_a + r_b) - dist_cc
+        pt_cc = pB + n_cc * r_b[..., None]
 
         # capsule-box: endpoint spheres of capsule a vs box b
-        cap_pt = pa + za * (hl_a * end_sign)[None, :, None]
+        cap_pt = pa + za * (hl_a * end_sign)[..., None]
         rel_cb = quat_rotate(_qconj(qb), cap_pt - pb)
-        cl_cb = jnp.clip(rel_cb, -size_b[None], size_b[None])
+        cl_cb = jnp.clip(rel_cb, -size_b, size_b)
         cp_cb = pb + quat_rotate(qb, cl_cb)
         dv_cb = cap_pt - cp_cb
         dist_cb = jnp.linalg.norm(dv_cb, axis=-1).clip(1e-9)
         n_cb = dv_cb / dist_cb[..., None]
-        dep_cb = r_a[None, :] - dist_cb
+        dep_cb = r_a - dist_cb
         pt_cb = cp_cb
 
         # box-box: vertices of a in b (slots 0-7) and b in a (slots 8-15)
@@ -356,9 +386,9 @@ class ContactSolver:
         vtx_w = jnp.where(jnp.asarray(bb_sign)[None, :, None], va_w, vb_w)
         ref_p = jnp.where(jnp.asarray(bb_sign)[None, :, None], pb, pa)
         ref_q = jnp.where(jnp.asarray(bb_sign)[None, :, None], qb, qa)
-        ref_size = jnp.asarray(np.where(bb_sign[:, None], sh.size[sb_safe], sh.size[job.shape_a]), jnp.float32)
+        ref_size = jnp.where(jnp.asarray(bb_sign)[None, :, None], size_b, size_a)
         rel_bb = quat_rotate(_qconj(ref_q), vtx_w - ref_p)
-        pen_bb = ref_size[None] - jnp.abs(rel_bb)
+        pen_bb = ref_size - jnp.abs(rel_bb)
         inside_bb = jnp.all(pen_bb > 0, axis=-1)
         ax_bb = jnp.argmin(pen_bb, axis=-1)
         sgn_bb = jnp.sign(jnp.take_along_axis(rel_bb, ax_bb[..., None], -1))[..., 0]
@@ -379,9 +409,9 @@ class ContactSolver:
                 jnp.where(mask[None, :], dep, depth),
             )
 
-        point, normal, depth = sel(K_SPH_PLANE, pt_sp, jnp.broadcast_to(pn, pt_sp.shape), dep_sp)
-        point, normal, depth = sel(K_CAP_PLANE, pt_cp, jnp.broadcast_to(pn, pt_cp.shape), dep_cp)
-        point, normal, depth = sel(K_BOX_PLANE, corner_w, jnp.broadcast_to(pn, corner_w.shape), dep_bp)
+        point, normal, depth = sel(K_SPH_PLANE, pt_sp, n_sp, dep_sp)
+        point, normal, depth = sel(K_CAP_PLANE, pt_cp, n_cp, dep_cp)
+        point, normal, depth = sel(K_BOX_PLANE, corner_w, n_bp, dep_bp)
         point, normal, depth = sel(K_SPH_SPH, pt_ss, n_ss, dep_ss)
         point, normal, depth = sel(K_SPH_BOX, pt_sb, n_sb, dep_sb)
         point, normal, depth = sel(K_SPH_CAP, pt_sc, n_sc, dep_sc)
@@ -398,14 +428,16 @@ class ContactSolver:
             params.shape_friction[:, sb_safe],
             jnp.asarray(self.plane_friction),
         )
-        mu = jnp.sqrt(jnp.clip(fr_a * fr_b, 0.0))
+        # PhysX default material combine mode is AVERAGE for both friction
+        # and restitution — match it (the reference engine's default)
+        mu = 0.5 * (fr_a + fr_b)
         re_a = params.shape_restitution[:, job.shape_a]
         re_b = jnp.where(
             jnp.asarray(job.shape_b >= 0)[None],
             params.shape_restitution[:, sb_safe],
             jnp.asarray(self.plane_restitution),
         )
-        rest = jnp.maximum(re_a, re_b)
+        rest = 0.5 * (re_a + re_b)
 
         # --- Jacobi impulse iterations ---
         inv_m = 1.0 / m  # (N, F)
@@ -445,9 +477,18 @@ class ContactSolver:
             vb = jnp.where(
                 b_is_body[None, :, None],
                 v_[:, b_safe] + jnp.cross(w_[:, b_safe], rb),
-                0.0,
+                vb_kin,
             )
             return va - vb
+
+        # kinematic-collider surface velocity (articulated links / statics):
+        # constant within the velocity solve, from the step-entry body state
+        owner_b = sh.body_slot[np.maximum(np.asarray(job.shape_b), 0)]
+        kin_mask = jnp.asarray((job.body_b < 0) & (job.shape_b >= 0))
+        vb_kin = state.body_linvel[:, owner_b] + jnp.cross(
+            state.body_angvel[:, owner_b], point - state.body_pos[:, owner_b]
+        )
+        vb_kin = jnp.where(kin_mask[None, :, None], vb_kin, 0.0)
 
         vn0 = jnp.einsum("nck,nck->nc", rel_vel(v, w), normal)
         bounce = jnp.where(
@@ -494,12 +535,22 @@ class ContactSolver:
             iter_body, (v, w, lam_n), None, length=iters
         )
 
-        # net contact force per free body (normal impulses / h)
-        cf = jnp.zeros((N, F, 3), v.dtype)
+        # net contact force per ENV BODY (normal impulses / h), covering free
+        # bodies AND the links/statics they press on (test12_add_joint.py.py:131
+        # reads net contact forces on articulated links)
+        cf = jnp.zeros((N, B_env, 3), v.dtype)
         f_c = jnp.where(active, lam_n, 0.0)[..., None] * normal * h_inv
-        cf = cf.at[:, a_idx].add(f_c)
-        cf = cf.at[:, b_safe].add(
-            jnp.where(b_is_body[None, :, None], -f_c, 0.0)
+        fg_body = np.asarray(self.scene.free_group.body_slot)
+        slot_a = jnp.asarray(fg_body[np.asarray(job.body_a)])
+        cf = cf.at[:, slot_a].add(f_c)
+        slot_b = np.where(
+            np.asarray(job.body_b) >= 0,
+            fg_body[np.maximum(np.asarray(job.body_b), 0)],
+            sh.body_slot[np.maximum(np.asarray(job.shape_b), 0)],
+        )
+        has_b = jnp.asarray(np.asarray(job.shape_b) >= 0)
+        cf = cf.at[:, jnp.asarray(slot_b)].add(
+            jnp.where(has_b[None, :, None], -f_c, 0.0)
         )
         return v, w, cf
 
@@ -538,3 +589,37 @@ def _segment_closest(a0, a1, b0, b1):
     t = jnp.clip((b * s + f) / jnp.clip(e, 1e-9), 0.0, 1.0)
     s = jnp.clip((b * t - c) / jnp.clip(a, 1e-9), 0.0, 1.0)
     return a0 + d1 * s[..., None], b0 + d2 * t[..., None]
+
+
+def _heightfield_sdf(data, hscale, offset, p):
+    """Approximate signed distance + normal of points p (N, C, 3) above a
+    heightfield (R, C) in meters. Bilinear height, analytic patch gradient."""
+    R, C = data.shape
+    x_raw = (p[..., 0] - offset[0]) / hscale
+    y_raw = (p[..., 1] - offset[1]) / hscale
+    x = jnp.clip(x_raw, 0.0, R - 1 - 1e-4)
+    y = jnp.clip(y_raw, 0.0, C - 1 - 1e-4)
+    # beyond the grid the terrain extends FLAT at the edge height: kill the
+    # gradient there or the clamped edge cell's slope leaks outward
+    in_x = (x_raw >= 0.0) & (x_raw <= R - 1)
+    in_y = (y_raw >= 0.0) & (y_raw <= C - 1)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    h00 = data[x0, y0]
+    h10 = data[x0 + 1, y0]
+    h01 = data[x0, y0 + 1]
+    h11 = data[x0 + 1, y0 + 1]
+    h = (
+        h00 * (1 - fx) * (1 - fy)
+        + h10 * fx * (1 - fy)
+        + h01 * (1 - fx) * fy
+        + h11 * fx * fy
+    )
+    gx = jnp.where(in_x, ((h10 - h00) * (1 - fy) + (h11 - h01) * fy) / hscale, 0.0)
+    gy = jnp.where(in_y, ((h01 - h00) * (1 - fx) + (h11 - h10) * fx) / hscale, 0.0)
+    inv_len = 1.0 / jnp.sqrt(1.0 + gx * gx + gy * gy)
+    normal = jnp.stack([-gx, -gy, jnp.ones_like(gx)], axis=-1) * inv_len[..., None]
+    dist = (p[..., 2] - h) * inv_len
+    return dist, normal

@@ -21,10 +21,17 @@ import numpy as np
 
 from ..core.scene import Scene
 from ..core.state import Actions, PhysParams, SimState
-from ..math.quat import quat_integrate, quat_rotate, quat_to_matrix
+from ..math.quat import (
+    orientation_error,
+    quat_integrate,
+    quat_mul,
+    quat_rotate,
+    quat_to_matrix,
+)
+from ..math.spatial import skew
 from . import contacts as contacts_mod
 from . import dynamics
-from .kinematics import ArtTopo, fk, topo_from_group
+from .kinematics import ArtTopo, body_jacobian, fk, topo_from_group
 
 DOF_MODE_NONE, DOF_MODE_POS, DOF_MODE_VEL, DOF_MODE_EFFORT = 0, 1, 2, 3
 
@@ -69,6 +76,48 @@ class Stepper:
             )
         self.free = scene.free_group
         self.static = scene.static_group
+        # attractors resolved to (group, copy, sim link) — fixed-base
+        # articulations only (the reference's usage: franka/kuka arms,
+        # /root/reference/examples/franka_attractor.py, kuka_bin.py:181-273)
+        self.attractors_by_group = [[] for _ in self.groups]
+        for t, a in enumerate(scene.attractors):
+            placed = False
+            for g_i, gi in enumerate(self.groups):
+                hits = np.argwhere(gi.body_idx == a.body)
+                if len(hits):
+                    copy, real_i = hits[0]
+                    link = int(gi.real_links[real_i])
+                    if not gi.topo.fixed_base:
+                        raise NotImplementedError(
+                            "attractors on floating-base articulations"
+                        )
+                    mask6 = np.array(
+                        [
+                            bool(a.axes & 1),
+                            bool(a.axes & 2),
+                            bool(a.axes & 4),
+                            bool(a.axes & 8),
+                            bool(a.axes & 16),
+                            bool(a.axes & 32),
+                        ],
+                        np.float32,
+                    )
+                    self.attractors_by_group[g_i].append(
+                        (
+                            t,
+                            int(copy),
+                            link,
+                            np.asarray(a.offset_pos, np.float32),
+                            np.asarray(a.offset_quat, np.float32),
+                            mask6,
+                        )
+                    )
+                    placed = True
+                    break
+            if not placed:
+                raise NotImplementedError(
+                    "attractors are only supported on articulated bodies"
+                )
         self.contact = contacts_mod.ContactSolver(scene)
         sp = scene.sim_params
         self.dt = sp.dt
@@ -99,7 +148,7 @@ class Stepper:
         new_dof_vel = state.dof_vel
 
         # ---------- articulated groups ----------
-        for gi in self.groups:
+        for g_i, gi in enumerate(self.groups):
             topo = gi.topo
             K = len(gi.slots)
             Dg = gi.dof_idx.shape[1]
@@ -203,6 +252,54 @@ class Stepper:
             qd_new = qd + h * qdd[..., base:]
             maxv = params.dof_max_velocity[:, didx]
             qd_new = jnp.clip(qd_new, -maxv, maxv)
+
+            # --- attractors: implicit 6-DOF spring-damper impulses ---
+            # Soft-constraint velocity solve (stable at the reference's
+            # stiffness=5e5 — franka_attractor.py:151): per attractor,
+            #   (J M^-1 J^T + I/(h(hk+c))) lam = k*err/(hk+c) - v6
+            # applied as joint-velocity impulse dqd = M^-1 J^T lam.
+            for (t, copy, link, off_p, off_q, mask6) in self.attractors_by_group[g_i]:
+                M = dynamics.mass_matrix(
+                    topo, pos[:, copy], quat[:, copy],
+                    mass=mass_l[:, copy], com=com_l[:, copy],
+                    inertia=inert_l[:, copy],
+                )  # (N, nv, nv) — fixed base: nv == Dg
+                J = body_jacobian(topo, pos[:, copy], quat[:, copy], link)
+                p_l = pos[:, copy, link]
+                q_l = quat[:, copy, link]
+                p_att = p_l + quat_rotate(q_l, jnp.asarray(off_p))
+                q_att = quat_mul(q_l, jnp.asarray(off_q))
+                r = p_att - p_l
+                J_p = J[:, :3] - skew(r) @ J[:, 3:]
+                Jt = jnp.concatenate([J_p, J[:, 3:]], axis=-2)  # (N, 6, nv)
+                m6 = jnp.asarray(mask6)
+                Jm = m6[None, :, None] * Jt
+                k_a = params.attractor_stiffness[:, t]
+                c_a = params.attractor_damping[:, t]
+                en = actions.attractor_enabled[:, t] & ((k_a + c_a) > 0)
+                denom = jnp.clip(h * k_a + c_a, 1e-9)
+                gamma = 1.0 / (h * denom)
+                err_p = actions.attractor_target_pos[:, t] - p_att
+                err_r = orientation_error(
+                    actions.attractor_target_quat[:, t], q_att
+                )
+                err6 = jnp.concatenate([err_p, err_r], axis=-1) * m6
+                v6 = jnp.einsum("nij,nj->ni", Jt, qd_new[:, copy]) * m6
+                X = jnp.linalg.solve(M, jnp.swapaxes(Jm, -1, -2))  # (N, nv, 6)
+                W = Jm @ X
+                A = W + (gamma[:, None] + (1.0 - m6) * 1.0)[..., None] * jnp.eye(
+                    6, dtype=W.dtype
+                )
+                rhs = (k_a / denom)[:, None] * err6 - v6
+                lam = jnp.linalg.solve(A, rhs[..., None])[..., 0] * m6
+                # force limit (AttractorProperties.forceLimit)
+                flim = params.attractor_force_limit[:, t]
+                lnorm = jnp.linalg.norm(lam[:, :3], axis=-1).clip(1e-9)
+                scale = jnp.minimum(1.0, flim * h / lnorm)
+                lam = lam * jnp.where(jnp.isfinite(flim), scale, 1.0)[:, None]
+                lam = jnp.where(en[:, None], lam, 0.0)
+                dqd = jnp.einsum("nij,nj->ni", X, lam)
+                qd_new = qd_new.at[:, copy].add(dqd)
             q_new = q + h * qd_new
             # limits: clamp and kill outward velocity
             lo = params.dof_lower[:, didx]
@@ -267,12 +364,10 @@ class Stepper:
             w1 = jnp.clip(w1, -mav[..., None], mav[..., None])
 
             # contacts correct velocities before position integration
-            v1, w1, cforce = self.contact.solve_free(
+            v1, w1, cf_body = self.contact.solve_free(
                 self, state, p0, q0, v1, w1, m, I_w, com_w, params, h
             )
-            new_cf = jnp.zeros_like(state.contact_force)
-            new_cf = new_cf.at[:, fbody].set(cforce)
-            state = state._replace(contact_force=new_cf)
+            state = state._replace(contact_force=cf_body)
 
             # integrate about com to respect com offsets
             com_w1 = com_w + h * v_com(v1, w1, com_w, p0)

@@ -1,0 +1,273 @@
+"""Batched analytic ray-cast renderer.
+
+TPUs have no raster hardware (SURVEY.md §7.3.4), so camera sensors render by
+ray-casting the scene's collision/visual primitives (sphere/box/capsule +
+ground plane) — one fused XLA program over (env, pixel, shape), vmapped over
+the env axis. Replaces the reference's Vulkan render path
+(`render_all_camera_sensors` + `get_camera_image(IMAGE_COLOR|IMAGE_DEPTH)` —
+/root/reference/test/test02_isaacgym_camera.py:316-343,
+examples/graphics.py:225-238).
+
+Outputs per camera:
+  color (N, H, W, 4) uint8   — Lambert-shaded albedo, RGBA
+  depth (N, H, W) float32    — NEGATIVE view-space depth, -inf where no hit
+                               (matches graphics.py:225-231 -inf handling)
+  seg   (N, H, W) int32      — per-actor segmentation ids (0 = background)
+
+Shape sizes/offsets come from PhysParams so runtime scaling and DR show up in
+images. Meshes render as their bounding boxes (v1, same as collision).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.scene import SHAPE_BOX, SHAPE_CAPSULE, SHAPE_MESH, SHAPE_SPHERE, Scene
+from ..math.quat import quat_mul, quat_rotate, quat_rotate_inverse
+
+BIG = 1e30
+
+
+class RenderTables(NamedTuple):
+    """Static per-env-template shape tables."""
+
+    body: np.ndarray  # (S,) env body index
+    kind: np.ndarray  # (S,)
+    quat: np.ndarray  # (S, 4) shape rot in link frame
+    color: np.ndarray  # (S, 3) albedo
+    seg: np.ndarray  # (S,) actor segmentation id
+
+
+def tables_from_scene(scene: Scene) -> RenderTables:
+    sh = scene.shapes
+    colors = np.full((sh.count, 3), 0.7, np.float32)
+    seg = np.zeros(sh.count, np.int32)
+    # default albedo from visual colors where the asset provides one
+    i = 0
+    for slot, p in enumerate(scene.actors):
+        for li, l in enumerate(p.asset.links):
+            for g in l.geoms:
+                if g.color is not None:
+                    colors[i] = g.color
+                seg[i] = p.seg_id
+                i += 1
+    return RenderTables(
+        body=np.asarray(sh.body_slot, np.int32),
+        kind=np.asarray(sh.kind, np.int32),
+        quat=np.asarray(sh.quat, np.float32),
+        color=colors,
+        seg=seg,
+    )
+
+
+def _ray_sphere(o, d, c, r):
+    """o,d (..., 3); c (..., 3); r (...,). Returns t (...,) or BIG."""
+    oc = o - c
+    b = jnp.einsum("...k,...k->...", oc, d)
+    q = jnp.einsum("...k,...k->...", oc, oc) - r * r
+    disc = b * b - q
+    t = -b - jnp.sqrt(jnp.clip(disc, 0.0))
+    return jnp.where((disc >= 0) & (t > 1e-4), t, BIG)
+
+
+def _ray_box(o, d, half):
+    """Ray vs axis-aligned box in LOCAL frame. o,d (..., 3), half (..., 3)."""
+    inv = 1.0 / jnp.where(jnp.abs(d) < 1e-9, jnp.where(d >= 0, 1e-9, -1e-9), d)
+    t0 = (-half - o) * inv
+    t1 = (half - o) * inv
+    tmin = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tmax = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    hit = (tmax >= jnp.maximum(tmin, 1e-4)) & (tmax > 0)
+    t = jnp.where(tmin > 1e-4, tmin, tmax)
+    return jnp.where(hit, t, BIG)
+
+
+def _ray_capsule(o, d, r, hl):
+    """Ray vs z-aligned capsule in LOCAL frame."""
+    # infinite cylinder on xy
+    oxy = o[..., :2]
+    dxy = d[..., :2]
+    a = jnp.einsum("...k,...k->...", dxy, dxy)
+    b = jnp.einsum("...k,...k->...", oxy, dxy)
+    c = jnp.einsum("...k,...k->...", oxy, oxy) - r * r
+    disc = b * b - a * c
+    sq = jnp.sqrt(jnp.clip(disc, 0.0))
+    a_safe = jnp.where(a < 1e-12, 1e-12, a)
+    t_cyl = (-b - sq) / a_safe
+    z_hit = o[..., 2] + t_cyl * d[..., 2]
+    cyl_ok = (disc >= 0) & (t_cyl > 1e-4) & (jnp.abs(z_hit) <= hl) & (a >= 1e-12)
+    t_cyl = jnp.where(cyl_ok, t_cyl, BIG)
+    # end spheres
+    zax = jnp.zeros_like(o).at[..., 2].set(1.0)
+    t_top = _ray_sphere(o, d, zax * hl[..., None], r)
+    t_bot = _ray_sphere(o, d, -zax * hl[..., None], r)
+    return jnp.minimum(t_cyl, jnp.minimum(t_top, t_bot))
+
+
+def render_rays(
+    origin,  # (3,) world ray origin (camera position), one env
+    dirs,  # (P, 3) world ray directions
+    shape_pos,  # (S, 3) world shape positions
+    shape_quat,  # (S, 4)
+    shape_size,  # (S, 3)
+    kind,  # (S,) int
+    color,  # (S, 3)
+    seg,  # (S,)
+    ground,  # (4,) [nx, ny, nz, d] or zeros when absent
+    light_dir,  # (3,) unit, direction TOWARD the scene
+    light_color,  # (3,)
+    ambient,  # (3,)
+    bg,  # (3,)
+):
+    """Single-env raycast; callers vmap over envs. P = H*W rays."""
+    S = shape_pos.shape[0]
+    o = origin[None, None, :] - shape_pos[None, :, :]  # (1, S, 3) cam in shape world-offset
+    # to shape local frame
+    q = shape_quat[None, :, :]
+    o_l = quat_rotate_inverse(q, jnp.broadcast_to(o, (dirs.shape[0], S, 3)))
+    d_l = quat_rotate_inverse(q, dirs[:, None, :] + jnp.zeros((1, S, 3)))
+
+    r = shape_size[None, :, 0]
+    hl = shape_size[None, :, 1]
+    half = shape_size[None, :, :]
+
+    t_sph = _ray_sphere(o_l, d_l, jnp.zeros_like(o_l), r)
+    t_box = _ray_box(o_l, d_l, half)
+    t_cap = _ray_capsule(o_l, d_l, r, hl)
+    k = kind[None, :]
+    t = jnp.where(k == SHAPE_SPHERE, t_sph, BIG)
+    t = jnp.where((k == SHAPE_BOX) | (k == SHAPE_MESH), t_box, t)
+    t = jnp.where(k == SHAPE_CAPSULE, t_cap, t)  # (P, S)
+
+    best = jnp.argmin(t, axis=1)  # (P,)
+    t_best = jnp.take_along_axis(t, best[:, None], axis=1)[:, 0]
+
+    # ground plane
+    gn = ground[:3]
+    has_ground = jnp.linalg.norm(gn) > 0.5
+    denom = dirs @ gn
+    t_gnd = (ground[3] - origin @ gn) / jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+    t_gnd = jnp.where(has_ground & (t_gnd > 1e-4), t_gnd, BIG)
+
+    hit_shape = t_best < jnp.minimum(t_gnd, BIG * 0.5)
+    hit_gnd = (~hit_shape) & (t_gnd < BIG * 0.5)
+    t_final = jnp.where(hit_shape, t_best, t_gnd)
+
+    # shading
+    p_hit = origin[None, :] + t_final[:, None] * dirs
+    c_shape = color[best]
+    # normal: local-frame gradient approximations per kind
+    sp = shape_pos[best]
+    sq = shape_quat[best]
+    ss = shape_size[best]
+    p_l = quat_rotate_inverse(sq, p_hit - sp)
+    kb = kind[best]
+    n_sphere = p_l
+    n_box_ax = jnp.argmax(jnp.abs(p_l) / jnp.maximum(ss, 1e-6), axis=-1)
+    n_box = jnp.eye(3)[n_box_ax] * jnp.sign(
+        jnp.take_along_axis(p_l, n_box_ax[:, None], -1)
+    )
+    zclip = jnp.clip(p_l[..., 2], -ss[..., 1], ss[..., 1])
+    n_cap = p_l - jnp.stack(
+        [jnp.zeros_like(zclip), jnp.zeros_like(zclip), zclip], axis=-1
+    )
+    n_l = jnp.where(
+        (kb == SHAPE_SPHERE)[:, None],
+        n_sphere,
+        jnp.where((kb == SHAPE_CAPSULE)[:, None], n_cap, n_box),
+    )
+    n_w = quat_rotate(sq, n_l)
+    n_w = jnp.where(hit_gnd[:, None], jnp.broadcast_to(gn, n_w.shape), n_w)
+    n_w = n_w / jnp.linalg.norm(n_w, axis=-1, keepdims=True).clip(1e-9)
+
+    albedo = jnp.where(
+        hit_gnd[:, None], jnp.array([0.55, 0.55, 0.55]), c_shape
+    )
+    lambert = jnp.clip(-(n_w @ light_dir), 0.0, 1.0)
+    shade = albedo * (ambient + light_color * lambert[:, None])
+    rgb = jnp.where(
+        (hit_shape | hit_gnd)[:, None], shade, jnp.broadcast_to(bg, shade.shape)
+    )
+    rgba = jnp.concatenate(
+        [jnp.clip(rgb, 0, 1), jnp.ones_like(rgb[:, :1])], axis=-1
+    )
+
+    seg_img = jnp.where(hit_shape, seg[best], 0)
+    return rgba, t_final, (hit_shape | hit_gnd), seg_img
+
+
+def camera_rays(props_w, props_h, hfov_deg, quat, dtype=jnp.float32):
+    """Pixel ray directions in WORLD frame. quat (4,) camera orientation.
+    Returns (H*W, 3) and the forward axis (3,)."""
+    t = np.tan(np.deg2rad(hfov_deg) / 2)
+    fx = props_w / 2 / t
+    u = jnp.arange(props_w, dtype=dtype) + 0.5 - props_w / 2
+    v = jnp.arange(props_h, dtype=dtype) + 0.5 - props_h / 2
+    uu, vv = jnp.meshgrid(u, v)  # (H, W)
+    d_cam = jnp.stack(
+        [jnp.ones_like(uu), -uu / fx, -vv / fx], axis=-1
+    ).reshape(-1, 3)
+    d_cam = d_cam / jnp.linalg.norm(d_cam, axis=-1, keepdims=True)
+    d_w = quat_rotate(quat[None, :], d_cam)
+    fwd = quat_rotate(quat, jnp.array([1.0, 0, 0], dtype))
+    return d_w, fwd
+
+
+@functools.partial(jax.jit, static_argnames=("width", "height", "hfov", "far"))
+def render_camera_batch(
+    cam_pos,  # (N, 3) world
+    cam_quat,  # (N, 4)
+    shape_pos_w,  # (N, S, 3) world shape positions
+    shape_quat_w,  # (N, S, 4)
+    shape_size,  # (N, S, 3)
+    kind,  # (S,)
+    color,  # (S, 3) or (N, S, 3)
+    seg,  # (S,)
+    ground,  # (4,)
+    light_dir,  # (3,)
+    light_color,  # (3,)
+    ambient,  # (3,)
+    bg,  # (3,)
+    *,
+    width: int,
+    height: int,
+    hfov: float,
+    far: float,
+):
+    """vmapped over envs. Returns (rgba u8 (N,H,W,4), depth f32 (N,H,W),
+    seg i32 (N,H,W)). depth is negative view depth, -inf for no hit."""
+    color = jnp.asarray(color)
+    per_env_color = color.ndim == 3
+
+    def one(cp, cq, sp, sq, ss, col):
+        dirs, fwd = camera_rays(width, height, hfov, cq)
+        rgba, t, hit, seg_img = render_rays(
+            cp, dirs, sp, sq, ss, jnp.asarray(kind), col, jnp.asarray(seg),
+            ground, light_dir, light_color, ambient, bg,
+        )
+        zdepth = t * (dirs @ fwd)
+        depth = jnp.where(hit & (t < far), -zdepth, -jnp.inf)
+        return (
+            (rgba.reshape(height, width, 4) * 255).astype(jnp.uint8),
+            depth.reshape(height, width).astype(jnp.float32),
+            seg_img.reshape(height, width).astype(jnp.int32),
+        )
+
+    in_axes = (0, 0, 0, 0, 0, 0 if per_env_color else None)
+    return jax.vmap(one, in_axes=in_axes)(
+        cam_pos, cam_quat, shape_pos_w, shape_quat_w, shape_size, color
+    )
+
+
+def shape_world_poses(state, params, tables: RenderTables, scene: Scene):
+    """World pose of every shape: (N, S, 3), (N, S, 4)."""
+    body = jnp.asarray(tables.body)
+    bq = state.body_quat[:, body]
+    bp = state.body_pos[:, body]
+    sp = bp + quat_rotate(bq, params.shape_pos)
+    sq = quat_mul(bq, jnp.asarray(tables.quat))
+    return sp, sq
