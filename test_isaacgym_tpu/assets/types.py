@@ -80,6 +80,7 @@ class GeomSpec:
     pos: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     quat: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)
     mesh_path: Optional[str] = None
+    mesh_scale: Optional[Tuple[float, float, float]] = None
     vertices: Optional[np.ndarray] = None  # (V,3) for meshes (collision hull)
     faces: Optional[np.ndarray] = None
     color: Optional[Tuple[float, float, float]] = None

@@ -94,7 +94,19 @@ def _resolve_mesh_path(filename: str, urdf_dir: str, asset_root: str) -> str:
         return cands[0]
     if os.path.isabs(filename):
         return filename
-    return os.path.join(urdf_dir, filename)
+    # plain relative paths: the reference's assets resolve some against the
+    # URDF's directory, others against the asset root or its parent (e.g.
+    # ycb/011_banana/collision.obj inside urdf/ycb/011_banana/*.urdf)
+    cands = [
+        os.path.join(urdf_dir, filename),
+        os.path.join(asset_root, filename),
+        os.path.join(asset_root, "urdf", filename),
+        os.path.join(os.path.dirname(urdf_dir), filename),
+    ]
+    for c in cands:
+        if os.path.exists(c):
+            return c
+    return cands[0]
 
 
 def _parse_geometry(geo_el, origin_el, urdf_dir, asset_root, load_meshes):
@@ -130,7 +142,7 @@ def _parse_geometry(geo_el, origin_el, urdf_dir, asset_root, load_meshes):
                     verts = (verts * scale).astype(np.float32)
             return GeomSpec(
                 GEOM_MESH, (), tuple(pos), tuple(quat), mesh_path=path,
-                vertices=verts, faces=faces,
+                mesh_scale=tuple(scale), vertices=verts, faces=faces,
             )
     return None
 

@@ -42,7 +42,9 @@ def decompose_mesh(
     if os.path.exists(cache):
         z = np.load(cache)
         return [z[k] for k in sorted(z.files)]
-    if os.path.exists(_TOOL) and faces is not None and len(faces):
+    if faces is None:
+        faces = np.zeros((0, 3), np.int32)
+    if os.path.exists(_TOOL):
         vin = os.path.join(_CACHE_DIR, key + ".in.npy")
         fin = os.path.join(_CACHE_DIR, key + ".faces.npy")
         np.save(vin, np.asarray(vertices, np.float32))
@@ -84,16 +86,33 @@ def _read_raw_hulls(path: str) -> List[np.ndarray]:
 
 
 def decompose_asset(asset: AssetSpec, params) -> None:
-    """Replace each mesh geom's hull by its decomposition (in place)."""
+    """Replace each mesh geom's hull by its decomposition (in place).
+
+    The importer pre-reduces mesh geoms to convex-hull vertices for the
+    default single-hull path; decomposition reloads the RAW mesh (verts +
+    faces) from disk so the splitter sees the true surface."""
     import dataclasses
+
+    from .mesh import load_mesh
 
     for l in asset.links:
         new_geoms = []
         for g in l.geoms:
-            if g.kind == GEOM_MESH and g.vertices is not None and len(g.vertices):
-                hulls = decompose_mesh(g.vertices, g.faces, params)
-                for hv in hulls:
-                    new_geoms.append(dataclasses.replace(g, vertices=hv))
-            else:
+            if g.kind != GEOM_MESH:
                 new_geoms.append(g)
+                continue
+            verts, faces = (g.vertices, g.faces)
+            if g.mesh_path and os.path.exists(g.mesh_path):
+                rv, rf = load_mesh(g.mesh_path)
+                if rv is not None and len(rv):
+                    scale = getattr(g, "mesh_scale", None)
+                    verts, faces = rv, rf
+                    if scale is not None:
+                        verts = verts * np.asarray(scale, np.float32)
+            if verts is None or not len(verts):
+                new_geoms.append(g)
+                continue
+            hulls = decompose_mesh(verts, faces, params)
+            for hv in hulls:
+                new_geoms.append(dataclasses.replace(g, vertices=hv, faces=None))
         l.geoms = new_geoms
