@@ -147,17 +147,18 @@ class Simulator:
                 return self.stepper.groups[gi], g, meta
         raise KeyError(f"{actor_name} is not an articulated actor")
 
-    def jacobian_fn(self, actor_name: str):
-        """Returns a pure fn state -> jacobian tensor with IsaacGym layout:
-        fixed base: (N, num_bodies-1, 6, D); floating: (N, num_bodies, 6, 6+D).
-        Rows are [linear(3); angular(3)] of each body origin
-        (/root/reference/examples/franka_cube_ik_osc.py:305-311)."""
-        gi, g, meta = self._group_of_actor(actor_name)
+    def _link_pose_fn(self, gi, copy, slot, didx):
+        """state -> (pos, quat) of every sim link for one actor copy.
+        Reuses the always-fresh body-state cache when all links are real
+        bodies (no FK re-sweep); falls back to FK otherwise."""
+        if bool(gi.link_is_real.all()):
+            idx = jnp.asarray(gi.link_body_idx[copy])
+
+            def fn(state: SimState):
+                return state.body_pos[:, idx], state.body_quat[:, idx]
+
+            return fn
         topo = gi.topo
-        copy = list(g.slots).index(meta.slot)
-        slot = meta.slot
-        didx = jnp.asarray(gi.dof_idx[copy])
-        real = [int(x) for x in gi.real_links]
 
         def fn(state: SimState):
             pos, quat, _, _ = fk(
@@ -169,6 +170,25 @@ class Simulator:
                 state.dof_pos[:, didx],
                 state.dof_vel[:, didx],
             )
+            return pos, quat
+
+        return fn
+
+    def jacobian_fn(self, actor_name: str):
+        """Returns a pure fn state -> jacobian tensor with IsaacGym layout:
+        fixed base: (N, num_bodies-1, 6, D); floating: (N, num_bodies, 6, 6+D).
+        Rows are [linear(3); angular(3)] of each body origin
+        (/root/reference/examples/franka_cube_ik_osc.py:305-311)."""
+        gi, g, meta = self._group_of_actor(actor_name)
+        topo = gi.topo
+        copy = list(g.slots).index(meta.slot)
+        slot = meta.slot
+        didx = jnp.asarray(gi.dof_idx[copy])
+        real = [int(x) for x in gi.real_links]
+        pose = self._link_pose_fn(gi, copy, slot, didx)
+
+        def fn(state: SimState):
+            pos, quat = pose(state)
             J = link_jacobian(topo, pos, quat)  # (N, Ls, 6, nv)
             J = J[:, jnp.asarray(real)]
             if topo.fixed_base:
@@ -187,17 +207,10 @@ class Simulator:
         didx = jnp.asarray(gi.dof_idx[copy])
         body_idx = meta.asset.rigid_body_dict()[body_name]
         link = [int(l) for l, b in enumerate(gi.topo.body_of_link) if b == body_idx][0]
+        pose = self._link_pose_fn(gi, copy, slot, didx)
 
         def fn(state: SimState):
-            pos, quat, _, _ = fk(
-                topo,
-                state.root_pos[:, slot],
-                state.root_quat[:, slot],
-                state.root_linvel[:, slot],
-                state.root_angvel[:, slot],
-                state.dof_pos[:, didx],
-                state.dof_vel[:, didx],
-            )
+            pos, quat = pose(state)
             return body_jacobian(topo, pos, quat, link)
 
         return fn
@@ -211,17 +224,10 @@ class Simulator:
         slot = meta.slot
         didx = jnp.asarray(gi.dof_idx[copy])
         base = 0 if topo.fixed_base else 6
+        pose = self._link_pose_fn(gi, copy, slot, didx)
 
         def fn(state: SimState):
-            pos, quat, _, _ = fk(
-                topo,
-                state.root_pos[:, slot],
-                state.root_quat[:, slot],
-                state.root_linvel[:, slot],
-                state.root_angvel[:, slot],
-                state.dof_pos[:, didx],
-                state.dof_vel[:, didx],
-            )
+            pos, quat = pose(state)
             M = dynamics.mass_matrix(topo, pos, quat)
             return M[..., base:, base:]
 

@@ -128,15 +128,38 @@ class Stepper:
 
     # ------------------------------------------------------------------
     def step(self, state: SimState, actions: Actions, params: PhysParams) -> SimState:
+        # body state is fresh at step entry (refresh_body_state runs at the
+        # end of every step and after every state write), so the first
+        # substep reuses it instead of re-running FK — with the final
+        # refresh, 2 link sweeps per step instead of substeps+1.
+        first = True
         for _ in range(self.substeps):
-            state = self._substep(state, actions, params)
+            state = self._substep(state, actions, params, reuse_body_state=first)
+            first = False
         state = self.refresh_body_state(state, params)
         return state._replace(
             time=state.time + self.dt, steps=state.steps + 1
         )
 
+    def _link_state_from_bodies(self, gi: _GroupIndex, state: SimState):
+        """Gather per-sim-link world state from the body cache (valid only
+        when every sim link is a real body — no spherical-joint expansion)."""
+        idx = jnp.asarray(gi.link_body_idx)  # (K, Ls)
+        return (
+            state.body_pos[:, idx],
+            state.body_quat[:, idx],
+            state.body_linvel[:, idx],
+            state.body_angvel[:, idx],
+        )
+
     # ------------------------------------------------------------------
-    def _substep(self, state: SimState, actions: Actions, params: PhysParams) -> SimState:
+    def _substep(
+        self,
+        state: SimState,
+        actions: Actions,
+        params: PhysParams,
+        reuse_body_state: bool = False,
+    ) -> SimState:
         h = self.h
         g_vec = params.gravity
 
@@ -164,7 +187,12 @@ class Stepper:
             q = state.dof_pos[:, didx]  # (N, K, Dg)
             qd = state.dof_vel[:, didx]
 
-            pos, quat, lin, ang = fk(topo, root_pos, root_quat, root_lin, root_ang, q, qd)
+            if reuse_body_state and bool(gi.link_is_real.all()):
+                pos, quat, lin, ang = self._link_state_from_bodies(gi, state)
+            else:
+                pos, quat, lin, ang = fk(
+                    topo, root_pos, root_quat, root_lin, root_ang, q, qd
+                )
 
             # --- drives ---
             mode = params.dof_drive_mode[:, didx]

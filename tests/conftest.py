@@ -1,19 +1,35 @@
-import os
+"""Test harness bootstrap: force the virtual 8-device CPU mesh.
 
-# Tests run on a virtual 8-device CPU mesh so multi-chip sharding paths are
-# exercised without TPU hardware (see SURVEY.md §4). Must be set before jax
-# import anywhere in the test process.
-os.environ["JAX_PLATFORMS"] = "cpu"
-# the axon sitecustomize registers the TPU backend whenever this is set; clear
-# it so tests really run on the virtual CPU mesh (the TPU is exercised by
-# bench.py and the driver's compile checks instead)
-os.environ["PALLAS_AXON_POOL_IPS"] = ""
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+The execution image registers a hardware backend at interpreter startup
+(sitecustomize), BEFORE conftest or any package code runs — in-process env
+changes cannot redirect jax afterwards. So if this process came up bound to
+hardware, re-exec pytest once with the env that (a) skips the hardware
+registration and (b) forces 8 virtual CPU devices, making multi-chip
+sharding paths testable without a pod slice (SURVEY.md §4).
+"""
+import os
+import sys
+
+_MARK = "TIG_TESTS_REEXEC"
+
+if os.environ.get(_MARK) != "1":
+    env = dict(
+        os.environ,
+        **{
+            _MARK: "1",
+            "JAX_PLATFORMS": "cpu",
+            "PALLAS_AXON_POOL_IPS": "",
+            "XLA_FLAGS": (
+                os.environ.get("XLA_FLAGS", "")
+                + " --xla_force_host_platform_device_count=8"
+            ).strip(),
+        },
+    )
+    os.execve(
+        sys.executable, [sys.executable, "-m", "pytest"] + sys.argv[1:], env
+    )
 
 import jax  # noqa: E402
 
+assert jax.default_backend() == "cpu", jax.default_backend()
 jax.config.update("jax_enable_x64", False)

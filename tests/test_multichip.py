@@ -1,0 +1,117 @@
+"""Multi-chip env-axis sharding on the virtual 8-device CPU mesh
+(SURVEY.md §2.4: DP over envs is the one parallelism axis; obs gather to the
+learner is an explicit collective at the loop boundary)."""
+import numpy as np
+import pytest
+
+import test_isaacgym_tpu  # noqa: F401  (forces 8 virtual CPU devices)
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from test_isaacgym_tpu.parallel.mesh import (
+    env_specs,
+    make_env_mesh,
+    obs_gather,
+    shard_env_tree,
+    shard_step,
+)
+
+
+@pytest.fixture(scope="module")
+def env8():
+    from test_isaacgym_tpu.envs.franka import FrankaOscEnv
+
+    return FrankaOscEnv(num_envs=16)
+
+
+def test_virtual_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_step_matches_single_device(env8):
+    """The sharded physics step must be numerically identical to the
+    single-device step (envs are independent; no cross-env math)."""
+    mesh = make_env_mesh()
+    sim = env8.sim
+    state_sh = shard_env_tree(sim.state, mesh, 16)
+    actions_sh = shard_env_tree(sim.actions, mesh, 16)
+    params_sh = shard_env_tree(sim.params, mesh, 16)
+
+    ref = jax.jit(sim.stepper.step)(sim.state, sim.actions, sim.params)
+    step = shard_step(sim.stepper.step, mesh, state_sh, actions_sh, params_sh)
+    out = step(state_sh, actions_sh, params_sh)
+    np.testing.assert_allclose(
+        np.asarray(out.dof_pos), np.asarray(ref.dof_pos), rtol=2e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.body_pos), np.asarray(ref.body_pos), rtol=2e-5, atol=1e-6
+    )
+    # output stays sharded over the env axis
+    assert "env" in str(out.root_pos.sharding.spec)
+
+
+def test_full_control_step_shards(env8):
+    """The FULL training step (jacobian/mass-matrix OSC control + physics)
+    under shard_map — the dryrun_multichip path."""
+    mesh = make_env_mesh()
+    sim = env8.sim
+    n = 16
+    state = shard_env_tree(sim.state, mesh, n)
+    actions = shard_env_tree(sim.actions, mesh, n)
+    params = shard_env_tree(sim.params, mesh, n)
+    refs = shard_env_tree(
+        (env8.init_hand_pos, env8.init_hand_quat, env8.origins), mesh, n
+    )
+
+    def full(s, a, p, r):
+        return env8._step_impl(s, a, p, s.steps, r)
+
+    f = jax.jit(
+        jax.shard_map(
+            full,
+            mesh=mesh,
+            in_specs=(
+                env_specs(state, n),
+                env_specs(actions, n),
+                env_specs(params, n),
+                env_specs(refs, n),
+            ),
+            out_specs=env_specs(state, n),
+        )
+    )
+    out = f(state, actions, params, refs)
+    ref = env8._step_impl(sim.state, sim.actions, sim.params, sim.state.steps)
+    np.testing.assert_allclose(
+        np.asarray(out.dof_vel), np.asarray(ref.dof_vel), rtol=5e-4, atol=1e-5
+    )
+
+
+def test_obs_gather_replicates(env8):
+    mesh = make_env_mesh()
+    obs = shard_env_tree(env8.sim.state.dof_pos, mesh, 16)
+    gathered = obs_gather(obs, mesh)
+    assert gathered.sharding.is_fully_replicated
+    np.testing.assert_array_equal(np.asarray(gathered), np.asarray(obs))
+
+
+def test_scaling_efficiency_smoke(env8):
+    """Throughput with 8 shards should not be (much) slower than 1 device on
+    this CPU host — a smoke check of the BASELINE.json scaling-efficiency
+    harness, not a perf claim."""
+    import time
+
+    mesh = make_env_mesh()
+    sim = env8.sim
+    state = shard_env_tree(sim.state, mesh, 16)
+    actions = shard_env_tree(sim.actions, mesh, 16)
+    params = shard_env_tree(sim.params, mesh, 16)
+    step = shard_step(sim.stepper.step, mesh, state, actions, params)
+    out = step(state, actions, params)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(5):
+        out = step(out, actions, params)
+    jax.block_until_ready(out)
+    sharded_dt = time.perf_counter() - t0
+    assert sharded_dt < 60.0  # it ran; real scaling numbers come from TPU
