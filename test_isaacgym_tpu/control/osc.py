@@ -9,7 +9,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..math.quat import orientation_error  # re-export for env code  # noqa: F401
-from ..utils.linalg import binv
+from ..utils.linalg import spd_solve
 
 
 def control_ik(j_eef, dpose, damping: float = 0.05):
@@ -20,8 +20,7 @@ def control_ik(j_eef, dpose, damping: float = 0.05):
     jt = jnp.swapaxes(j_eef, -1, -2)
     lmbda = jnp.eye(6, dtype=j_eef.dtype) * (damping**2)
     A = j_eef @ jt + lmbda
-    y = jnp.linalg.solve(A, dpose[..., None])
-    return (jt @ y)[..., 0]
+    return (jt @ spd_solve(A, dpose)[..., None])[..., 0]
 
 
 def control_osc(
@@ -50,14 +49,15 @@ def control_osc(
     if kd_null is None:
         kd_null = 2.0 * jnp.sqrt(kp_null)
     jt = jnp.swapaxes(j_eef, -1, -2)
-    mm_inv = binv(mm)
-    m_eef_inv = j_eef @ mm_inv @ jt
-    m_eef = binv(m_eef_inv)
-    u = jt @ (m_eef @ (kp * dpose - kd * hand_vel)[..., None])
+    # inverse-free form: X = M^-1 J^T, Lambda^-1 = J X; every apply of
+    # Lambda = (J M^-1 J^T)^-1 becomes one more unrolled-Cholesky solve.
+    X = spd_solve(mm, jt)  # (N, D, 6)
+    m_eef_inv = j_eef @ X  # (N, 6, 6)
+    u = jt @ spd_solve(m_eef_inv, (kp * dpose - kd * hand_vel))[..., None]
 
     # nullspace posture torque (roboticsproceedings.org/rss07/p31.pdf, as in
     # the reference's control_osc)
-    j_eef_inv = m_eef @ j_eef @ mm_inv
+    j_eef_inv = spd_solve(m_eef_inv, jnp.swapaxes(X, -1, -2))  # Lambda J M^-1
     q_err = (default_dof_pos - dof_pos + jnp.pi) % (2 * jnp.pi) - jnp.pi
     u_null = kd_null * -dof_vel + kp_null * q_err
     u_null = mm @ u_null[..., None]

@@ -25,7 +25,7 @@ from ..core.sim import Simulator
 from ..core.state import SimState
 from ..physics import dynamics
 from ..physics.kinematics import fk, jacobian as link_jacobian
-from ..utils.linalg import binv
+from ..utils.linalg import spd_solve
 
 ASSET_ROOT = "/root/reference/assets"
 FRANKA_URDF = "urdf/franka_description/robots/franka_panda.urdf"
@@ -125,11 +125,11 @@ class FrankaOscEnv:
         pos_err = self.kp * (pos_des - hand_pos)
         dpose = jnp.concatenate([pos_err, orn_err], axis=-1)
 
-        mm_inv = binv(mm77)
-        m_eef = binv(j_eef @ mm_inv @ jnp.swapaxes(j_eef, -1, -2))
+        jt = jnp.swapaxes(j_eef, -1, -2)
+        m_eef_inv = j_eef @ spd_solve(mm77, jt)  # (N, 6, 6)
         dof_vel = state.dof_vel[:, :7]
         u = (
-            jnp.swapaxes(j_eef, -1, -2) @ (m_eef @ (self.kp * dpose)[..., None])
+            jt @ spd_solve(m_eef_inv, self.kp * dpose)[..., None]
             - self.kv * (mm77 @ dof_vel[..., None])
         )[..., 0]
         effort = jnp.concatenate([u, jnp.zeros_like(u[:, :2])], axis=-1)

@@ -28,7 +28,7 @@ from ..core.scene import SceneBuilder
 from ..core.sim import Simulator
 from ..core.state import SimState
 from ..math.quat import quat_conjugate, quat_mul, quat_rotate
-from ..utils.linalg import binv
+from ..utils.linalg import spd_solve
 
 ASSET_ROOT = "/root/reference/assets"
 FRANKA_URDF = "urdf/franka_description/robots/franka_panda.urdf"
@@ -206,11 +206,10 @@ class FrankaCubeEnv:
             effort = jnp.zeros((N, 9))
         else:
             mm7 = self._mm(st)[:, :7, :7]
-            mm_inv = binv(mm7)
-            m_eef = binv(j_eef @ mm_inv @ jnp.swapaxes(j_eef, -1, -2))
+            jt = jnp.swapaxes(j_eef, -1, -2)
+            m_eef_inv = j_eef @ spd_solve(mm7, jt)
             u = (
-                jnp.swapaxes(j_eef, -1, -2)
-                @ (m_eef @ (self.osc_kp * dpose)[..., None])
+                jt @ spd_solve(m_eef_inv, self.osc_kp * dpose)[..., None]
                 - 2.0 * jnp.sqrt(self.osc_kp)
                 * (mm7 @ dof_vel[:, :7, None])
             )[..., 0]

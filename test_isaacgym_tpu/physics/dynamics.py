@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from ..core.scene import JT_PRISMATIC, JT_REVOLUTE, JT_ROOT
 from ..math import spatial
 from ..math.quat import quat_rotate, quat_to_matrix
+from ..utils.linalg import spd_solve
 from .kinematics import ArtTopo, joint_world_frames
 
 
@@ -261,8 +262,8 @@ def forward_dynamics(
         rhs = rhs.at[..., 0:3].add(base_wrench[..., 3:6])
         rhs = rhs.at[..., 3:6].add(base_wrench[..., 0:3])
     A = M + h * jnp.eye(M.shape[-1], dtype=M.dtype) * d_eff[..., None, :]
-    # batched symmetric solve (Cholesky) — MXU-friendly
-    qdd = jnp.linalg.solve(A, rhs[..., None])[..., 0]
+    # batched SPD solve — unrolled Cholesky (utils/linalg.py)
+    qdd = spd_solve(A, rhs)
     return qdd, M
 
 

@@ -29,6 +29,7 @@ from ..math.quat import (
     quat_to_matrix,
 )
 from ..math.spatial import skew
+from ..utils.linalg import spd_solve
 from . import contacts as contacts_mod
 from . import dynamics
 from .kinematics import ArtTopo, body_jacobian, fk, topo_from_group
@@ -313,13 +314,13 @@ class Stepper:
                 )
                 err6 = jnp.concatenate([err_p, err_r], axis=-1) * m6
                 v6 = jnp.einsum("nij,nj->ni", Jt, qd_new[:, copy]) * m6
-                X = jnp.linalg.solve(M, jnp.swapaxes(Jm, -1, -2))  # (N, nv, 6)
+                X = spd_solve(M, jnp.swapaxes(Jm, -1, -2))  # (N, nv, 6)
                 W = Jm @ X
                 A = W + (gamma[:, None] + (1.0 - m6) * 1.0)[..., None] * jnp.eye(
                     6, dtype=W.dtype
                 )
                 rhs = (k_a / denom)[:, None] * err6 - v6
-                lam = jnp.linalg.solve(A, rhs[..., None])[..., 0] * m6
+                lam = spd_solve(A, rhs) * m6
                 # force limit (AttractorProperties.forceLimit)
                 flim = params.attractor_force_limit[:, t]
                 lnorm = jnp.linalg.norm(lam[:, :3], axis=-1).clip(1e-9)
@@ -380,7 +381,7 @@ class Stepper:
             acc = F / m[..., None] + g_eff
             I_w = jnp.einsum("...ij,...jk,...lk->...il", R, I_l, R)
             gyro = jnp.cross(w0, jnp.einsum("...ij,...j->...i", I_w, w0))
-            wdot = jnp.linalg.solve(I_w, (T - gyro)[..., None])[..., 0]
+            wdot = spd_solve(I_w, T - gyro)
 
             ld = jnp.asarray(self.free.linear_damping, jnp.float32)
             ad = jnp.asarray(self.free.angular_damping, jnp.float32)
