@@ -16,8 +16,12 @@ keeps stiffness ~1e10 attractors/drives stable at dt=1/60
 
 This ALSO gives the `acquire_mass_matrix_tensor` capability for free.
 
-All functions are batched over arbitrary leading axes; the per-link loops are
-unrolled at trace time.
+All functions are batched over arbitrary leading axes. CRBA/RNEA exist in two
+trace-time-selected forms (see _use_unrolled): a composite-unrolled form
+(fused scalar chains — fastest on TPU) and a dense masked form (a handful of
+contractions over static ancestor masks — tiny HLO, which XLA:CPU needs to
+compile the multi-chip dryrun and tests in CI time). Both compute the same
+quantities; tests/test_dynamics.py asserts cross-form parity.
 """
 from __future__ import annotations
 
@@ -25,11 +29,10 @@ from typing import Optional
 
 import jax.numpy as jnp
 
-from ..core.scene import JT_PRISMATIC, JT_REVOLUTE, JT_ROOT
 from ..math import spatial
 from ..math.quat import quat_rotate, quat_to_matrix
 from ..utils.linalg import spd_solve
-from .kinematics import ArtTopo, joint_world_frames
+from .kinematics import ArtTopo, joint_world_frames, topo_masks
 
 
 def link_world_inertia(topo: ArtTopo, quat, mass=None, com=None, inertia=None):
@@ -59,36 +62,40 @@ def motion_subspaces(topo: ArtTopo, pos, quat, origin):
     """World-frame motion subspace column per link about `origin` (..., 3).
 
     Returns S (..., Ls, 6): [angular; linear] Featherstone convention, valid
-    for links with a dof; zeros otherwise.
+    for links with a dof; zeros otherwise. Loop-free: one vectorized pass
+    over the stacked joint frames.
     """
+    mk = topo_masks(topo)
     anchors, axes = joint_world_frames(topo, pos, quat)
-    cols = []
-    for i in range(topo.num_links):
-        jt = topo.jtype[i]
-        if jt == JT_REVOLUTE:
-            a = anchors[..., i, :] - origin
-            s = axes[..., i, :]
-            cols.append(jnp.concatenate([s, jnp.cross(a, s)], axis=-1))
-        elif jt == JT_PRISMATIC:
-            s = axes[..., i, :]
-            cols.append(jnp.concatenate([jnp.zeros_like(s), s], axis=-1))
-        else:
-            z = jnp.zeros_like(anchors[..., i, :])
-            cols.append(jnp.concatenate([z, z], axis=-1))
-    return jnp.stack(cols, axis=-2)
+    rel = anchors - origin[..., None, :]  # (..., Ls, 3)
+    s_ang = mk.is_rev[:, None] * axes
+    s_lin = mk.is_rev[:, None] * jnp.cross(rel, axes) + mk.is_pris[:, None] * axes
+    return jnp.concatenate([s_ang, s_lin], axis=-1)
 
 
-def crba(topo: ArtTopo, S, m, com_rel, ic_w):
-    """Composite-rigid-body mass matrix.
+def _use_unrolled() -> bool:
+    """Trace-time backend switch: the composite-unrolled CRBA/RNEA (fused
+    scalar chains, O(L*D) work) is ~2x faster on TPU, while the dense masked
+    form (a handful of contractions, O(L*D^2) work) compiles ~20x smaller
+    HLO — which XLA:CPU needs to finish compiling the multi-chip dryrun and
+    the test suite in CI time. Override with TIG_DYNAMICS_FORM=dense|unrolled."""
+    import os
 
-    S: (..., Ls, 6) dof subspace columns about origin O.
-    m/com_rel/ic_w: world inertia params per link; com_rel relative to O.
-    Returns M (..., nv, nv), nv = [6+]D, base cols first for floating base.
-    """
+    form = os.environ.get("TIG_DYNAMICS_FORM", "")
+    if form == "dense":
+        return False
+    if form == "unrolled":
+        return True
+    import jax
+
+    return jax.default_backend() != "cpu"
+
+
+def _crba_unrolled(topo: ArtTopo, S, m, com_rel, ic_w):
+    """Composite-rigid-body mass matrix, per-link loops unrolled at trace
+    time (TPU hot path; see _use_unrolled)."""
     L = topo.num_links
     D = topo.num_dofs
-    base = 0 if topo.fixed_base else 6
-    nv = base + D
 
     # composite inertia params, accumulated leaf->root
     cm = [m[..., i] for i in range(L)]
@@ -164,25 +171,17 @@ def crba(topo: ArtTopo, S, m, com_rel, ic_w):
     return jnp.concatenate(rows, axis=-2) if len(rows) > 1 else rows[0]
 
 
-def rnea_bias(topo: ArtTopo, S, m, com_rel, ic_w, vel_sp, qd, gravity, f_ext=None):
-    """Bias generalized force C(q,qd)+g(q) - tau_ext about origin O.
-
-    vel_sp: (..., Ls, 6) spatial velocity [w; v_O] of each link about O.
-    qd: (..., D). gravity: (3,). f_ext: optional (..., Ls, 6) external spatial
-    force on each link about O (world axes), entering with a minus sign.
-    Returns (..., nv).
-    """
+def _rnea_unrolled(topo: ArtTopo, S, m, com_rel, ic_w, vel_sp, qd, gravity, f_ext=None):
+    """RNEA bias with unrolled per-link recursion (TPU hot path)."""
     L = topo.num_links
     D = topo.num_dofs
-    base = 0 if topo.fixed_base else 6
-    nv = base + D
     batch = vel_sp.shape[:-2]
 
     g6 = jnp.concatenate([jnp.zeros_like(gravity), -gravity], axis=-1)  # a0 = -g
     a = []
     f = []
     for i in range(L):
-        if topo.jtype[i] == JT_ROOT:
+        if topo.parent[i] < 0:
             a_i = jnp.broadcast_to(g6, batch + (6,))
         else:
             p = topo.parent[i]
@@ -210,11 +209,123 @@ def rnea_bias(topo: ArtTopo, S, m, com_rel, ic_w, vel_sp, qd, gravity, f_ext=Non
             f[p] = f[p] + f[i]
     parts = []
     if not topo.fixed_base:
-        # base rows: translation rows pair with f, rotation rows with n
         parts.append(f[0][..., 3:6])
         parts.append(f[0][..., 0:3])
     if D:
         parts.append(jnp.stack([cvals[d] for d in range(D)], axis=-1))
+    return jnp.concatenate(parts, axis=-1)
+
+
+def crba(topo: ArtTopo, S, m, com_rel, ic_w):
+    """Mass matrix via the dense kinetic-energy identity M = sum_i J_i^T I_i J_i.
+
+    The per-link Jacobian about the common origin O is J_i[:, d] =
+    anc(i, d) * S_d (plus identity base columns), so the whole matrix reduces
+    to a few einsums over static ancestor masks — loop-free HLO, MXU-friendly,
+    and exactly equal to the composite-rigid-body result.
+
+    S: (..., Ls, 6) dof subspace columns about origin O.
+    m/com_rel/ic_w: world inertia params per link; com_rel relative to O.
+    Returns M (..., nv, nv), nv = [6+]D, base cols first for floating base.
+    """
+    if _use_unrolled():
+        return _crba_unrolled(topo, S, m, com_rel, ic_w)
+    D = topo.num_dofs
+    mk = topo_masks(topo)
+
+    if D:
+        Sd = S[..., mk.dof_link, :]  # (..., D, 6)
+        # W[l, d] = I_l @ S_d  (spatial momentum of unit joint motion)
+        W = spatial.inertia_mul(
+            m[..., :, None],
+            com_rel[..., :, None, :],
+            ic_w[..., :, None, :, :],
+            Sd[..., None, :, :],
+        )  # (..., L, D, 6)
+        A = mk.dof_anc  # (L, D) static
+        G = jnp.einsum("...ak,...lbk->...lab", Sd, W)
+        Mjj = jnp.einsum("la,lb,...lab->...ab", A, A, G)
+    else:
+        Mjj = jnp.zeros(m.shape[:-1] + (0, 0), S.dtype)
+
+    if topo.fixed_base:
+        return Mjj
+
+    # base block: total spatial inertia about O (explicit 6x6 in the
+    # [translation rows; rotation rows] layout used by qdd[0:3]=lin,[3:6]=ang)
+    m0 = jnp.sum(m, axis=-1)
+    msafe = jnp.clip(m0, 1e-12)
+    c0 = jnp.sum(m[..., None] * com_rel, axis=-2) / msafe[..., None]
+    d = com_rel - c0[..., None, :]
+    d2 = jnp.sum(d * d, axis=-1)
+    eye = jnp.eye(3, dtype=S.dtype)
+    outer = d[..., :, None] * d[..., None, :]
+    i0 = jnp.sum(
+        ic_w + m[..., None, None] * (d2[..., None, None] * eye - outer), axis=-3
+    )
+    cx = spatial.skew(c0)
+    tt = m0[..., None, None] * eye
+    tr = -(m0[..., None, None] * cx)
+    ccT = jnp.einsum("...ij,...kj->...ik", cx, cx)
+    rr = i0 + m0[..., None, None] * ccT
+
+    if D:
+        # base-joint coupling: F_d = sum_l anc(l,d) I_l S_d
+        Fd = jnp.einsum("ld,...ldk->...dk", A, W)  # (..., D, 6)
+        jt_f = jnp.swapaxes(Fd[..., 3:6], -1, -2)  # (..., 3, D)
+        jt_n = jnp.swapaxes(Fd[..., 0:3], -1, -2)
+    else:
+        jt_f = jnp.zeros(tt.shape[:-1] + (0,), S.dtype)
+        jt_n = jnp.zeros(tt.shape[:-1] + (0,), S.dtype)
+
+    top = jnp.concatenate([tt, tr, jt_f], axis=-1)  # (..., 3, nv)
+    mid = jnp.concatenate([jnp.swapaxes(tr, -1, -2), rr, jt_n], axis=-1)
+    if D:
+        bot = jnp.concatenate(
+            [jnp.swapaxes(jt_f, -1, -2), jnp.swapaxes(jt_n, -1, -2), Mjj],
+            axis=-1,
+        )  # (..., D, nv)
+        return jnp.concatenate([top, mid, bot], axis=-2)
+    return jnp.concatenate([top, mid], axis=-2)
+
+
+def rnea_bias(topo: ArtTopo, S, m, com_rel, ic_w, vel_sp, qd, gravity, f_ext=None):
+    """Bias generalized force C(q,qd)+g(q) - tau_ext about origin O.
+
+    vel_sp: (..., Ls, 6) spatial velocity [w; v_O] of each link about O.
+    qd: (..., D). gravity: (3,). f_ext: optional (..., Ls, 6) external spatial
+    force on each link about O (world axes), entering with a minus sign.
+    Returns (..., nv).
+    """
+    if _use_unrolled():
+        return _rnea_unrolled(topo, S, m, com_rel, ic_w, vel_sp, qd, gravity, f_ext)
+    D = topo.num_dofs
+    mk = topo_masks(topo)
+
+    # bias acceleration (qdd = 0): a_i = -g + sum_{j in anc(i)} v_j x (S_j qd_j)
+    g6 = jnp.concatenate([jnp.zeros_like(gravity), -gravity], axis=-1)
+    if D:
+        qd_l = qd[..., mk.link_qd] * mk.has_dof  # (..., L)
+        c = spatial.cross_motion(vel_sp, S * qd_l[..., None])  # (..., L, 6)
+        a = g6 + jnp.einsum("ij,...jk->...ik", mk.anc, c)
+    else:
+        a = jnp.broadcast_to(g6, vel_sp.shape)
+
+    Iv = spatial.inertia_mul(m, com_rel, ic_w, vel_sp)
+    f = spatial.inertia_mul(m, com_rel, ic_w, a) + spatial.cross_force(vel_sp, Iv)
+    if f_ext is not None:
+        f = f - f_ext
+
+    parts = []
+    if not topo.fixed_base:
+        f_tot = jnp.sum(f, axis=-2)
+        # base rows: translation rows pair with f, rotation rows with n
+        parts.append(f_tot[..., 3:6])
+        parts.append(f_tot[..., 0:3])
+    if D:
+        # C[d] = sum_{i desc of d} S_d . f_i
+        Sd = S[..., mk.dof_link, :]
+        parts.append(jnp.einsum("ld,...dk,...lk->...d", mk.dof_anc, Sd, f))
     return jnp.concatenate(parts, axis=-1)
 
 

@@ -14,9 +14,51 @@ from __future__ import annotations
 from typing import NamedTuple, Tuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from ..core.scene import JT_FIXED, JT_PRISMATIC, JT_REVOLUTE, JT_ROOT, ArtGroup
 from ..math.quat import quat_mul, quat_rotate
+
+
+class TopoMasks(NamedTuple):
+    """Static (numpy, trace-time constant) topology masks for the dense
+    loop-free dynamics formulation. Kept tiny (L<=~32, D<=~32): the O(L*D)
+    mask einsums cost negligible FLOPs but collapse the HLO from thousands of
+    per-link scalar ops to a handful of batched contractions — this is what
+    makes the step compile in seconds on XLA:CPU (multi-chip dryrun) instead
+    of minutes, and keeps the MXU fed on TPU."""
+
+    anc: np.ndarray  # (L, L) f32: anc[i, j] = 1 if j is i or an ancestor of i
+    dof_link: np.ndarray  # (D,) i32: link carrying each dof
+    dof_anc: np.ndarray  # (L, D) f32: dof_anc[i, d] = 1 if dof d moves link i
+    is_rev: np.ndarray  # (L,) f32
+    is_pris: np.ndarray  # (L,) f32
+    has_dof: np.ndarray  # (L,) f32
+    link_qd: np.ndarray  # (L,) i32: dof index per link (0 where none; mask with has_dof)
+
+
+def topo_masks(topo: "ArtTopo") -> TopoMasks:
+    L = topo.num_links
+    D = topo.num_dofs
+    anc = np.zeros((L, L), np.float32)
+    for i in range(L):
+        x = i
+        while x != -1:
+            anc[i, x] = 1.0
+            x = topo.parent[x]
+    dof_link = np.zeros((max(D, 1),), np.int32)
+    link_qd = np.zeros((L,), np.int32)
+    has_dof = np.zeros((L,), np.float32)
+    for i in range(L):
+        d = topo.dof_of_link[i]
+        if d >= 0:
+            dof_link[d] = i
+            link_qd[i] = d
+            has_dof[i] = 1.0
+    dof_anc = anc[:, dof_link[:D]] if D else np.zeros((L, 0), np.float32)
+    is_rev = np.array([1.0 if jt == JT_REVOLUTE else 0.0 for jt in topo.jtype], np.float32)
+    is_pris = np.array([1.0 if jt == JT_PRISMATIC else 0.0 for jt in topo.jtype], np.float32)
+    return TopoMasks(anc, dof_link[:D], dof_anc, is_rev, is_pris, has_dof, link_qd)
 
 
 class ArtTopo(NamedTuple):
@@ -148,55 +190,82 @@ def fk(
 
 def joint_world_frames(topo: ArtTopo, pos, quat):
     """World joint anchor and axis for each link's inbound joint, given link
-    world poses (..., Ls, 3/4). Anchor/axis of the root are its own frame."""
-    anchors, axes = [], []
-    for i in range(topo.num_links):
-        if topo.jtype[i] == JT_ROOT:
-            anchors.append(pos[..., i, :])
-            axes.append(quat_rotate(quat[..., i, :], topo.axis[i]))
-            continue
-        p = topo.parent[i]
-        jf_pos = pos[..., p, :] + quat_rotate(quat[..., p, :], topo.jp_pos[i])
-        jf_quat = quat_mul(quat[..., p, :], topo.jp_quat[i])
-        anchors.append(jf_pos)
-        axes.append(quat_rotate(jf_quat, topo.axis[i]))
-    return jnp.stack(anchors, axis=-2), jnp.stack(axes, axis=-2)
+    world poses (..., Ls, 3/4). Anchor/axis of the root are its own frame.
+
+    Fully vectorized over links: one gather on the parent index + batched
+    quat ops (no per-link Python loop — XLA:CPU compile-time critical)."""
+    par = np.array(
+        [p if p >= 0 else i for i, p in enumerate(topo.parent)], np.int32
+    )
+    is_root = np.array(
+        [jt == JT_ROOT for jt in topo.jtype], bool
+    )
+    pp = pos[..., par, :]
+    pq = quat[..., par, :]
+    jf_pos = pp + quat_rotate(pq, topo.jp_pos)
+    jf_quat = quat_mul(pq, topo.jp_quat)
+    anchors = jnp.where(is_root[:, None], pos, jf_pos)
+    axes = jnp.where(
+        is_root[:, None],
+        quat_rotate(quat, topo.axis),
+        quat_rotate(jf_quat, topo.axis),
+    )
+    return anchors, axes
+
+
+def _jacobian_dense(topo: ArtTopo, pos, quat, sel=None):
+    """Dense loop-free geometric Jacobians.
+
+    pos/quat: (..., Ls, 3/4). sel: optional (B,) numpy link selection
+    (default: all links). Returns (..., B, 6, nv) with rows
+    [linvel(3); angvel(3)] of each selected link origin.
+    """
+    mk = topo_masks(topo)
+    D = topo.num_dofs
+    anchors, axes = joint_world_frames(topo, pos, quat)
+    if sel is None:
+        sel = np.arange(topo.num_links)
+    sel = np.asarray(sel, np.int32)
+    body_pos = pos[..., sel, :]  # (..., B, 3)
+
+    if D:
+        axd = axes[..., mk.dof_link, :]  # (..., D, 3)
+        anch_d = anchors[..., mk.dof_link, :]
+        rev_d = mk.is_rev[mk.dof_link]  # (D,)
+        pris_d = mk.is_pris[mk.dof_link]
+        rel = body_pos[..., :, None, :] - anch_d[..., None, :, :]  # (..., B, D, 3)
+        lin = rev_d[:, None] * jnp.cross(
+            jnp.broadcast_to(axd[..., None, :, :], rel.shape), rel
+        ) + pris_d[:, None] * axd[..., None, :, :]
+        ang = (rev_d[:, None] * axd)[..., None, :, :] + jnp.zeros_like(rel)
+        A = mk.anc[sel][:, mk.dof_link]  # (B, D)
+        Jj = jnp.concatenate([lin, ang], axis=-1) * A[:, :, None]  # (..., B, D, 6)
+        Jj = jnp.swapaxes(Jj, -1, -2)  # (..., B, 6, D)
+    else:
+        Jj = jnp.zeros(body_pos.shape[:-1] + (6, 0), pos.dtype)
+
+    if topo.fixed_base:
+        return Jj
+    # base cols: translation k -> [e_k; 0]; rotation k -> [e_k x rel_b; e_k]
+    rel_b = body_pos - pos[..., 0:1, :]  # (..., B, 3)
+    eye = jnp.eye(3, dtype=pos.dtype)
+    zero = jnp.zeros(rel_b.shape[:-1] + (3, 3), pos.dtype)
+    trans = jnp.concatenate([eye + zero, zero], axis=-2)  # (..., B, 6, 3)
+    # lin rows of rotation cols: (e_k x rel)_r = -skew(rel)[r, k]
+    rot_lin = jnp.cross(
+        jnp.broadcast_to(eye, rel_b.shape[:-1] + (3, 3)),
+        rel_b[..., None, :],
+    )  # (..., B, k, 3) — row k = e_k x rel
+    rot = jnp.concatenate(
+        [jnp.swapaxes(rot_lin, -1, -2), eye + zero], axis=-2
+    )  # (..., B, 6, 3)
+    return jnp.concatenate([trans, rot, Jj], axis=-1)
 
 
 def body_jacobian(topo: ArtTopo, pos, quat, link: int):
     """Jacobian of ONE link (..., 6, nv) — what task-space controllers need;
     avoids materializing the full per-link tensor in the hot loop."""
-    D = topo.num_dofs
-    anchors, axes = joint_world_frames(topo, pos, quat)
-    chain = set()
-    x = link
-    while x != -1:
-        chain.add(x)
-        x = topo.parent[x]
-    link_of_dof = {topo.dof_of_link[i]: i for i in range(topo.num_links) if topo.dof_of_link[i] >= 0}
-    zero3 = pos[..., 0, :] * 0.0
-    cols = []
-    if not topo.fixed_base:
-        rel = pos[..., link, :] - pos[..., 0, :]
-        for k in range(3):
-            e = zero3 + jnp.eye(3, dtype=pos.dtype)[k]
-            cols.append(jnp.concatenate([e, zero3], axis=-1))
-        for k in range(3):
-            e = zero3 + jnp.eye(3, dtype=pos.dtype)[k]
-            cols.append(jnp.concatenate([jnp.cross(e, rel), e], axis=-1))
-    for d in range(D):
-        i = link_of_dof[d]
-        if i not in chain:
-            cols.append(jnp.concatenate([zero3, zero3], axis=-1))
-        elif topo.jtype[i] == JT_REVOLUTE:
-            s_i = axes[..., i, :]
-            lin = jnp.cross(s_i, pos[..., link, :] - anchors[..., i, :])
-            cols.append(jnp.concatenate([lin, s_i], axis=-1))
-        elif topo.jtype[i] == JT_PRISMATIC:
-            cols.append(jnp.concatenate([axes[..., i, :], zero3], axis=-1))
-        else:
-            cols.append(jnp.concatenate([zero3, zero3], axis=-1))
-    return jnp.stack(cols, axis=-1)  # (..., 6, nv)
+    return _jacobian_dense(topo, pos, quat, sel=[link])[..., 0, :, :]
 
 
 def jacobian(topo: ArtTopo, pos, quat):
@@ -208,48 +277,4 @@ def jacobian(topo: ArtTopo, pos, quat):
     nv = D for fixed base, 6 + D for floating base (base cols first:
     [linear xyz, angular xyz] like IsaacGym's floating-base layout).
     """
-    L = topo.num_links
-    D = topo.num_dofs
-    base = 0 if topo.fixed_base else 6
-    nv = base + D
-    anchors, axes = joint_world_frames(topo, pos, quat)
-
-    # static ancestor table: anc[b] = set of links on b's chain to root
-    anc = []
-    for b in range(L):
-        chain = set()
-        x = b
-        while x != -1:
-            chain.add(x)
-            x = topo.parent[x]
-        anc.append(chain)
-
-    # link with dof index d -> link id
-    link_of_dof = {topo.dof_of_link[i]: i for i in range(L) if topo.dof_of_link[i] >= 0}
-
-    zero3 = pos[..., 0, :] * 0.0  # (..., 3), inherits batch sharding
-    rows = []
-    for b in range(L):
-        cols = []
-        if not topo.fixed_base:
-            rel = pos[..., b, :] - pos[..., 0, :]
-            for k in range(3):  # base translation cols: lin = e_k, ang = 0
-                e = zero3 + jnp.eye(3, dtype=pos.dtype)[k]
-                cols.append(jnp.concatenate([e, zero3], axis=-1))
-            for k in range(3):  # base rotation cols: lin = e_k x rel, ang = e_k
-                e = zero3 + jnp.eye(3, dtype=pos.dtype)[k]
-                cols.append(jnp.concatenate([jnp.cross(e, rel), e], axis=-1))
-        for d in range(D):
-            i = link_of_dof[d]
-            if i not in anc[b]:
-                cols.append(jnp.concatenate([zero3, zero3], axis=-1))
-            elif topo.jtype[i] == JT_REVOLUTE:
-                s_i = axes[..., i, :]
-                lin = jnp.cross(s_i, pos[..., b, :] - anchors[..., i, :])
-                cols.append(jnp.concatenate([lin, s_i], axis=-1))
-            elif topo.jtype[i] == JT_PRISMATIC:
-                cols.append(jnp.concatenate([axes[..., i, :], zero3], axis=-1))
-            else:
-                cols.append(jnp.concatenate([zero3, zero3], axis=-1))
-        rows.append(jnp.stack(cols, axis=-1))  # (..., 6, nv)
-    return jnp.stack(rows, axis=-3)  # (..., L, 6, nv)
+    return _jacobian_dense(topo, pos, quat)

@@ -19,9 +19,14 @@ if os.environ.get(_MARK) != "1":
             _MARK: "1",
             "JAX_PLATFORMS": "cpu",
             "PALLAS_AXON_POOL_IPS": "",
+            # --xla_cpu_use_fusion_emitters=false: jaxlib 0.9.0's CPU
+            # fusion-emitter codegen produces kernels that never terminate
+            # for our op mix (two tf_XLAEigen threads spin forever on a
+            # ~150-op quat chain); the classic emitters run it in ~1 ms.
             "XLA_FLAGS": (
                 os.environ.get("XLA_FLAGS", "")
                 + " --xla_force_host_platform_device_count=8"
+                + " --xla_cpu_use_fusion_emitters=false"
             ).strip(),
         },
     )

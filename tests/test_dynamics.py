@@ -191,3 +191,51 @@ def test_energy_conservation_pendulum():
         q, qd = step(q, qd)
     e1 = energy(q, qd)
     assert abs(e1 - e0) / abs(e0) < 0.02, (e0, e1)
+
+
+def test_dense_vs_unrolled_parity():
+    """The two trace-time CRBA/RNEA forms (dense masked vs composite-unrolled,
+    dynamics._use_unrolled) must agree on fixed- and floating-base chains."""
+    import os
+
+    import jax
+
+    for fixed in (True, False):
+        a = load_urdf(
+            ROOT, "urdf/franka_description/robots/franka_panda.urdf", fix_base_link=fixed
+        )
+        topo = make_topo(a)
+        key = jax.random.PRNGKey(3)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        D = topo.num_dofs
+        rp = jnp.array([0.0, 0.0, 0.5])
+        rq = jnp.array([0.0, 0.0, 0.0, 1.0])
+        rl = jax.random.normal(k3, (3,)) * 0.1
+        ra = jax.random.normal(k4, (3,)) * 0.1
+        q = jax.random.normal(k1, (D,)) * 0.5
+        qd = jax.random.normal(k2, (D,)) * 0.5
+        pos, quat, lin, ang = fk(topo, rp, rq, rl, ra, q, qd)
+        origin = pos[..., 0, :]
+        m, com_w, ic_w = dynamics.link_world_inertia(topo, quat)
+        com_rel = (pos - origin[..., None, :]) + com_w
+        S = dynamics.motion_subspaces(topo, pos, quat, origin)
+        vel_sp = dynamics.spatial_velocities(topo, pos, lin, ang, origin)
+        g = jnp.array([0.0, 0.0, -9.8])
+
+        os.environ["TIG_DYNAMICS_FORM"] = "dense"
+        try:
+            M_d = dynamics.crba(topo, S, m, com_rel, ic_w)
+            C_d = dynamics.rnea_bias(topo, S, m, com_rel, ic_w, vel_sp, qd, g)
+            os.environ["TIG_DYNAMICS_FORM"] = "unrolled"
+            M_u = dynamics.crba(topo, S, m, com_rel, ic_w)
+            C_u = dynamics.rnea_bias(topo, S, m, com_rel, ic_w, vel_sp, qd, g)
+        finally:
+            del os.environ["TIG_DYNAMICS_FORM"]
+        scale = float(jnp.abs(M_u).max())
+        np.testing.assert_allclose(
+            np.asarray(M_d), np.asarray(M_u), atol=2e-5 * scale, rtol=2e-4
+        )
+        cs = float(jnp.abs(C_u).max()) + 1.0
+        np.testing.assert_allclose(
+            np.asarray(C_d), np.asarray(C_u), atol=2e-5 * cs, rtol=2e-4
+        )
