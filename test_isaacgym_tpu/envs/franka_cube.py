@@ -23,7 +23,7 @@ import numpy as np
 from ..assets import load_urdf
 from ..assets.primitives import create_box
 from ..control.osc import control_ik, orientation_error
-from ..core.config import SimParams
+from ..core.config import PlaneParams, SimParams
 from ..core.scene import SceneBuilder
 from ..core.sim import Simulator
 from ..core.state import SimState
@@ -76,6 +76,7 @@ class FrankaCubeEnv:
 
         rng = np.random.RandomState(self.seed)
         b = SceneBuilder(sp)
+        b.add_ground(PlaneParams())  # reference :232-235
         n_row = max(int(np.sqrt(self.num_envs)), 1)
         for i in range(self.num_envs):
             b.create_env((-1, -1, 0), (1, 1, 1.5), n_row)
@@ -219,11 +220,10 @@ class FrankaCubeEnv:
         close_gripper = (box_dist < self.grasp_offset + 0.02) | gripped
         hand_restart = hand_restart | (box_pos[:, 2] > 0.6)
         close_gripper = close_gripper & (~hand_restart)
-        # close to just under the cube width (not 0): gripper links are
-        # one-way kinematic colliders, so a zero target would drive the
-        # fingers straight through the cube and eject it; a bounded ~2 mm
-        # interpenetration emulates PhysX's force-limited squeeze
-        grip_target = jnp.where(close_gripper[:, None], 0.45 * BOX_SIZE, 0.04)
+        # target 0 like the reference (:404): the fingers stop ON the cube
+        # because finger-link contact is two-way (joint-space impulses) and
+        # the drive torque is force-limited — PhysX-style squeeze
+        grip_target = jnp.where(close_gripper[:, None], 0.0, 0.04)
         pos_target = jnp.concatenate([arm_target, grip_target + jnp.zeros((N, 2))], -1)
 
         full_pos = actions.dof_pos_target.at[:, sl].set(pos_target)

@@ -1,16 +1,27 @@
-"""Contact generation and batched impulse solver for free rigid bodies.
+"""Contact generation and batched impulse solver (free bodies AND
+articulation links, two-way).
 
 TPU-first replacement for the reference's PhysX contact pipeline (SURVEY.md
 N2): contact counts are static (fixed candidate slots per shape/pair, masked
 at runtime), and the velocity-level solve is a fixed-iteration relaxed Jacobi
 scheme — fully batched over (env, contact), no sequential Gauss-Seidel chains,
 which is what maps onto the VPU. Iteration count mirrors
-SimParams.physx.num_position_iterations.
+SimParams.physx.num_position_iterations + num_velocity_iterations.
 
-Supported narrowphase (free bodies + static colliders + ground plane):
-  sphere-plane, capsule-plane, box-plane (8 corners),
+Each contact side is one of
+  FREE   — free rigid body: responds via (1/m, I^-1) impulses,
+  LINK   — articulation link: responds via joint-space impulses
+           dqd = A^-1 Jp^T lam, where A = M + h*D is the SAME implicit
+           operator the drive solve factorizes (so contact feels the
+           drive's implicit damping — stable force-limited grasping,
+           /root/reference/examples/franka_cube_ik_osc.py:336-406),
+  STATIC — world geometry: kinematic, no response.
+
+Supported narrowphase:
+  sphere/capsule/box vs plane & heightfield,
   sphere-sphere, sphere-box, sphere-capsule, capsule-capsule (segment),
-  capsule-box (2 endpoint spheres), box-box (vertex-in-box, both directions).
+  capsule-box (2 endpoint spheres), box-box (vertex-in-box both ways
+  + deepest edge-edge pair).
 
 Collision group/filter semantics match create_actor(group, filter):
 same group (or group -1) collides; shared filter bit suppresses
@@ -32,6 +43,7 @@ from ..core.scene import (
     Scene,
 )
 from ..math.quat import quat_mul, quat_rotate
+from ..math.spatial import skew
 from ..utils.linalg import binv
 
 _BOX_CORNERS = np.array(
@@ -39,104 +51,101 @@ _BOX_CORNERS = np.array(
     dtype=np.float32,
 )
 
+# side types
+T_FREE, T_LINK, T_STATIC = 0, 1, 2
 
-def _shapes_of_bodies(scene: Scene, body_slots: np.ndarray):
-    """Shape indices attached to the given env body slots."""
-    out = []
-    for b in body_slots:
-        out.append(np.nonzero(scene.shapes.body_slot == b)[0])
-    return out
+# dispatch codes
+K_SPH_PLANE, K_CAP_PLANE, K_BOX_PLANE = 0, 1, 2
+K_SPH_SPH, K_SPH_BOX, K_SPH_CAP, K_CAP_CAP, K_CAP_BOX, K_BOX_BOX = 3, 4, 5, 6, 7, 8
+K_BOX_BOX_EDGE = 9
 
 
-def _pair_allowed(scene, si, sj):
-    sh = scene.shapes
-    if sh.actor_slot[si] == sh.actor_slot[sj]:
-        return False  # self-collision off within an actor's shapes (free bodies: 1 body anyway)
-    gi, gj = sh.collision_group[si], sh.collision_group[sj]
-    if not (gi == gj or gi == -1 or gj == -1):
-        return False
-    if (sh.collision_filter[si] & sh.collision_filter[sj]) != 0:
-        return False
-    return True
+class _Side(NamedTuple):
+    """Static per-contact side descriptors (numpy, length C)."""
+
+    type: np.ndarray  # T_FREE / T_LINK / T_STATIC
+    free: np.ndarray  # free-body index (safe 0)
+    group: np.ndarray  # articulation group id (safe 0)
+    copy: np.ndarray  # copy within group (safe 0)
+    link: np.ndarray  # sim link within group (safe 0)
+    body: np.ndarray  # env body slot (always valid; for cf accumulation)
 
 
 class _Job(NamedTuple):
     """Static candidate-contact table. All arrays (C, ...) numpy."""
 
-    body_a: np.ndarray  # free-body index (into F)
-    body_b: np.ndarray  # free-body index or -1 (world/static)
-    kind: np.ndarray  # narrowphase dispatch code
+    a: _Side
+    b: _Side
+    kind: np.ndarray
     shape_a: np.ndarray  # env shape index
-    shape_b: np.ndarray  # env shape index or -1 (plane)
+    shape_b: np.ndarray  # env shape index or -1 (plane/heightfield)
     slot: np.ndarray  # sub-slot (corner index etc.)
 
 
-# dispatch codes
-K_SPH_PLANE, K_CAP_PLANE, K_BOX_PLANE = 0, 1, 2
-K_SPH_SPH, K_SPH_BOX, K_SPH_CAP, K_CAP_CAP, K_CAP_BOX, K_BOX_BOX = 3, 4, 5, 6, 7, 8
+class _Entity(NamedTuple):
+    """One collidable rigid entity (host-side, used at table-build time)."""
+
+    type: int
+    free: int
+    group: int
+    copy: int
+    link: int
+    body: int
 
 
 class ContactSolver:
     def __init__(self, scene: Scene, max_pair_shapes: int = 4096):
         self.scene = scene
         self.enabled = False
-        self.num_free = 0
-        if scene.free_group is None or scene.free_group.count == 0:
-            return
-        fg = scene.free_group
-        self.num_free = fg.count
         sh = scene.shapes
-        free_shape_lists = _shapes_of_bodies(scene, fg.body_slot)
-        # map env shape idx -> free body idx (-1 if not free)
-        shape_free = -np.ones(sh.count, np.int64)
-        for fi, idxs in enumerate(free_shape_lists):
-            for s in idxs:
-                shape_free[s] = fi
-        static_shapes = []
+
+        # ---- collidable entities ----
+        entities = {}  # body slot -> _Entity
+        fg = scene.free_group
+        if fg is not None:
+            for fi, b in enumerate(fg.body_slot):
+                entities[int(b)] = _Entity(T_FREE, fi, 0, 0, 0, int(b))
+        for g_id, g in enumerate(scene.art_groups):
+            for copy, slot_ in enumerate(g.slots):
+                for l, bi in enumerate(g.body_of_link):
+                    if bi >= 0:
+                        b = int(g.body_start[copy] + bi)
+                        entities[b] = _Entity(T_LINK, 0, g_id, copy, l, b)
+        static_bodies = []
         if scene.static_group is not None:
             for b in scene.static_group.body_slot:
-                static_shapes.extend(np.nonzero(sh.body_slot == b)[0].tolist())
-        # articulated-link shapes participate as KINEMATIC colliders: free
-        # bodies collide against them at the links' FK poses/velocities
-        # (one-way coupling — what gripper-grasps-cube scenes need,
-        # franka_cube_ik_osc.py:336-406; two-way joint-space impulses are the
-        # phase-2 roadmap). They carry their owner's velocity so friction
-        # drags grasped objects along with the moving hand.
-        link_shapes = []
-        for g in scene.art_groups:
-            for slot_ in g.slots:
-                meta = scene.actors[slot_]
-                for b in range(meta.body_start, meta.body_start + meta.body_count):
-                    link_shapes.extend(np.nonzero(sh.body_slot == b)[0].tolist())
+                entities[int(b)] = _Entity(T_STATIC, 0, 0, 0, 0, int(b))
+                static_bodies.append(int(b))
 
-        rows = {k: [] for k in ["a", "b", "kind", "sa", "sb", "slot"]}
+        def shapes_of(b):
+            return np.nonzero(sh.body_slot == b)[0].tolist()
 
-        def add(a, b, kind, sa, sb, slot=0):
-            rows["a"].append(a)
-            rows["b"].append(b)
-            rows["kind"].append(kind)
-            rows["sa"].append(sa)
-            rows["sb"].append(sb)
-            rows["slot"].append(slot)
+        dyn_shapes = []  # (shape_idx, _Entity) for FREE + LINK
+        stat_shapes = []
+        for b, e in entities.items():
+            for s in shapes_of(b):
+                if e.type == T_STATIC:
+                    stat_shapes.append((s, e))
+                else:
+                    dyn_shapes.append((s, e))
 
-        # --- plane / heightfield contacts ---
+        rows: List[tuple] = []  # (ea, eb, kind, sa, sb, slot)
+        WORLD = _Entity(T_STATIC, 0, 0, 0, 0, 0)
+
+        # --- plane / heightfield contacts (all dynamic shapes) ---
         if scene.ground is not None or scene.heightfield is not None:
-            for fi, idxs in enumerate(free_shape_lists):
-                for s in idxs:
-                    k = sh.kind[s]
-                    if k == SHAPE_SPHERE:
-                        add(fi, -1, K_SPH_PLANE, s, -1)
-                    elif k == SHAPE_CAPSULE:
-                        add(fi, -1, K_CAP_PLANE, s, -1, 0)
-                        add(fi, -1, K_CAP_PLANE, s, -1, 1)
-                    elif k in (SHAPE_BOX, SHAPE_MESH):
-                        for c in range(8):
-                            add(fi, -1, K_BOX_PLANE, s, -1, c)
+            for s, e in dyn_shapes:
+                k = sh.kind[s]
+                if k == SHAPE_SPHERE:
+                    rows.append((e, WORLD, K_SPH_PLANE, s, -1, 0))
+                elif k == SHAPE_CAPSULE:
+                    rows.append((e, WORLD, K_CAP_PLANE, s, -1, 0))
+                    rows.append((e, WORLD, K_CAP_PLANE, s, -1, 1))
+                elif k in (SHAPE_BOX, SHAPE_MESH):
+                    for c in range(8):
+                        rows.append((e, WORLD, K_BOX_PLANE, s, -1, c))
 
-        # --- pairwise contacts (free-free, free-static, free-link) ---
-        all_dyn = [(s, shape_free[s]) for idxs in free_shape_lists for s in idxs]
-        all_stat = [(s, -1) for s in static_shapes + link_shapes]
-
+        # --- pairwise contacts ---
         def kind_code(ka, kb):
             m = {SHAPE_MESH: SHAPE_BOX}  # meshes collide as their bounding boxes (v1)
             ka = m.get(ka, ka)
@@ -155,41 +164,75 @@ class ContactSolver:
             return table[(ka, kb)]
 
         pairs = []
-        n_dyn = len(all_dyn)
+        n_dyn = len(dyn_shapes)
         for i in range(n_dyn):
+            si, ei = dyn_shapes[i]
             for j in range(i + 1, n_dyn):
-                si, fi = all_dyn[i]
-                sj, fj = all_dyn[j]
+                sj, ej = dyn_shapes[j]
+                # two LINK sides of the same group+copy never collide here
+                # (self-collision within one articulation is off, like the
+                # reference's default create_actor filtering)
+                if (
+                    ei.type == T_LINK
+                    and ej.type == T_LINK
+                    and ei.group == ej.group
+                    and ei.copy == ej.copy
+                ):
+                    continue
                 if _pair_allowed(scene, si, sj):
-                    pairs.append((si, fi, sj, fj))
-            for sj, _ in all_stat:
-                si, fi = all_dyn[i]
+                    pairs.append((si, ei, sj, ej))
+            for sj, ej in stat_shapes:
                 if _pair_allowed(scene, si, sj):
-                    pairs.append((si, fi, sj, -1))
+                    pairs.append((si, ei, sj, ej))
         if len(pairs) > max_pair_shapes:
             raise ValueError(
                 f"{len(pairs)} contact pairs exceeds max_pair_shapes; "
-                "hook up the Pallas broadphase for this scene size"
+                "hook up the broadphase for this scene size"
             )
-        for si, fi, sj, fj in pairs:
+        for si, ei, sj, ej in pairs:
             code, swap, nslots = kind_code(sh.kind[si], sh.kind[sj])
             if swap:
-                si, sj, fi, fj = sj, si, fj, fi
+                si, sj, ei, ej = sj, si, ej, ei
             for c in range(nslots):
-                add(fi, fj, code, si, sj, c)
+                rows.append((ei, ej, code, si, sj, c))
+            if code == K_BOX_BOX:
+                # deepest edge-edge pair (stacking stability,
+                # /root/reference/examples/large_mass_ratio.py:110-114)
+                rows.append((ei, ej, K_BOX_BOX_EDGE, si, sj, 0))
 
-        if not rows["a"]:
+        if not rows:
             return
         self.enabled = True
+
+        def side(get):
+            return _Side(
+                type=np.asarray([get(r).type for r in rows], np.int32),
+                free=np.asarray([get(r).free for r in rows], np.int32),
+                group=np.asarray([get(r).group for r in rows], np.int32),
+                copy=np.asarray([get(r).copy for r in rows], np.int32),
+                link=np.asarray([get(r).link for r in rows], np.int32),
+                body=np.asarray([get(r).body for r in rows], np.int32),
+            )
+
         self.job = _Job(
-            body_a=np.asarray(rows["a"], np.int32),
-            body_b=np.asarray(rows["b"], np.int32),
-            kind=np.asarray(rows["kind"], np.int32),
-            shape_a=np.asarray(rows["sa"], np.int32),
-            shape_b=np.asarray(rows["sb"], np.int32),
-            slot=np.asarray(rows["slot"], np.int32),
+            a=side(lambda r: r[0]),
+            b=side(lambda r: r[1]),
+            kind=np.asarray([r[2] for r in rows], np.int32),
+            shape_a=np.asarray([r[3] for r in rows], np.int32),
+            shape_b=np.asarray([r[4] for r in rows], np.int32),
+            slot=np.asarray([r[5] for r in rows], np.int32),
         )
-        self.num_contacts = len(self.job.body_a)
+        self.num_contacts = len(rows)
+
+        # per-group static contact index lists (which contacts touch links
+        # of group g on side a / side b)
+        self.link_lists = []
+        for g_id in range(len(scene.art_groups)):
+            ia = np.nonzero((self.job.a.type == T_LINK) & (self.job.a.group == g_id))[0]
+            ib = np.nonzero((self.job.b.type == T_LINK) & (self.job.b.group == g_id))[0]
+            self.link_lists.append((ia.astype(np.int32), ib.astype(np.int32)))
+        self.any_link = any(len(ia) + len(ib) for ia, ib in self.link_lists)
+
         # heightfield terrain (SURVEY.md N10: contact stays heightfield-native)
         hf = scene.heightfield
         if hf is not None:
@@ -212,48 +255,21 @@ class ContactSolver:
             self.plane_d = np.float32(0)
             self.plane_friction = np.float32(1.0)
             self.plane_restitution = np.float32(0.0)
-        # static shape geometry constants
-        ssh = scene.shapes
-        self.sh_size = jnp.asarray(ssh.size, jnp.float32)
-        self.sh_pos = jnp.asarray(ssh.pos, jnp.float32)
-        self.sh_quat = jnp.asarray(ssh.quat, jnp.float32)
-        self.sh_body = jnp.asarray(ssh.body_slot, jnp.int32)
 
     # ------------------------------------------------------------------
-    def solve_free(self, stepper, state, p0, q0, v, w, m, I_w, com_w, params, h):
-        """Correct free-body velocities with contact impulses.
-
-        state: the canonical SimState at step entry (used for non-free body
-        poses — static colliders; they never move inside a substep).
-        p0/q0/v/w/com_w: (N, F, .); m: (N, F); I_w: (N, F, 3, 3).
-        Returns (v, w, contact_force (N, F, 3)).
-        """
-        N, F = m.shape
-        B_env = self.scene.num_bodies_per_env
-        zero_cf = jnp.zeros((N, B_env, 3), v.dtype)
-        if not self.enabled:
-            return v, w, zero_cf
-
+    def narrowphase(self, body_pos, body_quat, params):
+        """(point, normal(b->a), depth, active) for every candidate contact,
+        given CURRENT body poses (N, B, 3/4)."""
         job = self.job
-        C = self.num_contacts
-        a_idx = jnp.asarray(job.body_a)
-        b_is_body = jnp.asarray(job.body_b >= 0)
-        b_safe = jnp.asarray(np.maximum(job.body_b, 0))
-
         sh = self.scene.shapes
-        fg = self.scene.free_group
-        body_to_free = -np.ones(self.scene.num_bodies_per_env, np.int64)
-        for fi, b in enumerate(fg.body_slot):
-            body_to_free[b] = fi
+        N = body_pos.shape[0]
+        C = self.num_contacts
 
         def shape_pose(s_arr):
             s_np = np.asarray(s_arr)
-            owner_body = sh.body_slot[s_np]
-            owner_free = body_to_free[owner_body]
-            is_free = jnp.asarray(owner_free >= 0)[None, :, None]
-            of = np.maximum(owner_free, 0)
-            bp = jnp.where(is_free, p0[:, of], state.body_pos[:, owner_body])
-            bq = jnp.where(is_free, q0[:, of], state.body_quat[:, owner_body])
+            owner = sh.body_slot[s_np]
+            bp = body_pos[:, owner]
+            bq = body_quat[:, owner]
             spos = params.shape_pos[:, jnp.asarray(s_np)]  # (N, C, 3)
             squat = jnp.asarray(sh.quat[s_np], jnp.float32)
             return bp + quat_rotate(bq, spos), quat_mul(bq, squat)
@@ -262,32 +278,26 @@ class ContactSolver:
         sb_safe = np.maximum(job.shape_b, 0)
         pb, qb = shape_pose(sb_safe)
 
-        # runtime sizes (set_actor_scale / domain randomization) — (N, C, 3)
         size_a = params.shape_size[:, jnp.asarray(job.shape_a)]
         size_b = params.shape_size[:, jnp.asarray(sb_safe)]
         kind = job.kind
-        slot = job.slot
 
-        # --- narrowphase: produce (point, normal(b->a), depth) per contact ---
-        point = jnp.zeros((N, C, 3), v.dtype)
-        normal = jnp.zeros((N, C, 3), v.dtype)
-        depth = jnp.full((N, C), -1.0, v.dtype)
+        point = jnp.zeros((N, C, 3), body_pos.dtype)
+        normal = jnp.zeros((N, C, 3), body_pos.dtype)
+        depth = jnp.full((N, C), -1.0, body_pos.dtype)
 
         pn = jnp.asarray(self.plane_n)
         pd = jnp.asarray(self.plane_d)
 
         if self.hf_data is not None:
             def ground_sdf(p):
-                return _heightfield_sdf(
-                    self.hf_data, self.hf_scale, self.hf_off, p
-                )
+                return _heightfield_sdf(self.hf_data, self.hf_scale, self.hf_off, p)
         else:
             def ground_sdf(p):
                 d = jnp.einsum("nck,k->nc", p, pn) - pd
                 return d, jnp.broadcast_to(pn, p.shape)
 
-        # vectorized over all contacts; select by kind via where masks
-        r_a = size_a[..., 0]   # (N, C)
+        r_a = size_a[..., 0]
         hl_a = size_a[..., 1]
         r_b = size_b[..., 0]
 
@@ -298,7 +308,7 @@ class ContactSolver:
 
         # capsule-plane: endpoint spheres along local z
         zdir = quat_rotate(qa, jnp.array([0.0, 0, 1.0]))
-        end_sign = jnp.asarray(np.where(job.slot == 0, 1.0, -1.0), jnp.float32)
+        end_sign = jnp.asarray(np.where(self.job.slot == 0, 1.0, -1.0), jnp.float32)
         cap_end = pa + zdir * (hl_a * end_sign)[..., None]
         d_cp, n_cp = ground_sdf(cap_end)
         pt_cp = cap_end - n_cp * r_a[..., None]
@@ -321,7 +331,6 @@ class ContactSolver:
         rel = quat_rotate(_qconj(qb), pa - pb)
         clamped = jnp.clip(rel, -size_b, size_b)
         inside = jnp.all(jnp.abs(rel) <= size_b, axis=-1)
-        # if inside, push out along min-penetration axis
         pen_ax = size_b - jnp.abs(rel)
         ax = jnp.argmin(pen_ax, axis=-1)
         sgn = jnp.sign(jnp.take_along_axis(rel, ax[..., None], -1))
@@ -377,10 +386,9 @@ class ContactSolver:
         pt_cb = cp_cb
 
         # box-box: vertices of a in b (slots 0-7) and b in a (slots 8-15)
-        bb_sign = job.slot < 8
-        corn_idx = np.where(job.slot < 8, job.slot, job.slot - 8)
+        bb_sign = self.job.slot < 8
+        corn_idx = np.where(self.job.slot < 8, self.job.slot, self.job.slot - 8)
         corn = jnp.asarray(_BOX_CORNERS)[corn_idx]
-        # vertex of a in b frame (slots<8); vertex of b in a frame otherwise
         va_w = pa + quat_rotate(qa, corn * size_a)
         vb_w = pb + quat_rotate(qb, corn * size_b)
         vtx_w = jnp.where(jnp.asarray(bb_sign)[None, :, None], va_w, vb_w)
@@ -394,12 +402,14 @@ class ContactSolver:
         sgn_bb = jnp.sign(jnp.take_along_axis(rel_bb, ax_bb[..., None], -1))[..., 0]
         n_local = _axis_vec(ax_bb, sgn_bb)
         n_bb_raw = quat_rotate(ref_q, n_local)
-        # normal must point b -> a
         n_bb = jnp.where(jnp.asarray(bb_sign)[None, :, None], n_bb_raw, -n_bb_raw)
         dep_bb = jnp.where(
             inside_bb, jnp.take_along_axis(pen_bb, ax_bb[..., None], -1)[..., 0], -1.0
         )
         pt_bb = vtx_w
+
+        # box-box deepest edge-edge pair (SAT over the 9 cross axes)
+        pt_ee, n_ee, dep_ee = _box_box_edge(pa, qa, size_a, pb, qb, size_b)
 
         def sel(code, pt, n, dep):
             mask = jnp.asarray(kind == code)
@@ -418,18 +428,63 @@ class ContactSolver:
         point, normal, depth = sel(K_CAP_CAP, pt_cc, n_cc, dep_cc)
         point, normal, depth = sel(K_CAP_BOX, pt_cb, n_cb, dep_cb)
         point, normal, depth = sel(K_BOX_BOX, pt_bb, n_bb, dep_bb)
+        point, normal, depth = sel(K_BOX_BOX_EDGE, pt_ee, n_ee, dep_ee)
 
         active = depth > -self.scene.sim_params.physx.contact_offset
+        return point, normal, depth, active
+
+    # ------------------------------------------------------------------
+    def solve(
+        self,
+        body_pos,
+        body_quat,
+        body_vel_kin,
+        free_v,
+        free_w,
+        free_m,
+        free_I_w,
+        free_com_w,
+        art_qd,
+        art_jac,
+        art_Ainv,
+        params,
+        h,
+    ):
+        """Velocity-level contact solve over free bodies and articulations.
+
+        body_pos/quat: CURRENT poses of every env body (N, B, 3/4).
+        body_vel_kin: (linvel, angvel) (N, B, 3) — surface velocity of
+            kinematic (STATIC) colliders.
+        free_*: free-body batch arrays (may be None when no free bodies).
+        art_qd: list per group of (N, K, nv) generalized velocities.
+        art_jac: list per group of (N, K, Ls, 6, nv) link jacobians (rows
+            [lin; ang] of link origins) or None if group has no contacts.
+        art_Ainv: list per group of (N, K, nv, nv) inverse implicit operators.
+        Returns (free_v, free_w, art_qd, contact_force (N, B, 3)).
+        """
+        N = body_pos.shape[0]
+        B_env = self.scene.num_bodies_per_env
+        zero_cf = jnp.zeros((N, B_env, 3), body_pos.dtype)
+        if not self.enabled:
+            return free_v, free_w, art_qd, zero_cf
+
+        job = self.job
+        C = self.num_contacts
+        if free_m is None:
+            # dummy arrays keep the scan carry well-typed; never read back
+            free_v = jnp.zeros((N, 1, 3), body_pos.dtype)
+            free_w = jnp.zeros((N, 1, 3), body_pos.dtype)
+        point, normal, depth, active = self.narrowphase(body_pos, body_quat, params)
 
         # --- material params per contact ---
+        sb_safe = np.maximum(job.shape_b, 0)
         fr_a = params.shape_friction[:, job.shape_a]
         fr_b = jnp.where(
             jnp.asarray(job.shape_b >= 0)[None],
             params.shape_friction[:, sb_safe],
             jnp.asarray(self.plane_friction),
         )
-        # PhysX default material combine mode is AVERAGE for both friction
-        # and restitution — match it (the reference engine's default)
+        # PhysX default material combine mode is AVERAGE — match it
         mu = 0.5 * (fr_a + fr_b)
         re_a = params.shape_restitution[:, job.shape_a]
         re_b = jnp.where(
@@ -439,28 +494,90 @@ class ContactSolver:
         )
         rest = 0.5 * (re_a + re_b)
 
-        # --- Jacobi impulse iterations ---
-        inv_m = 1.0 / m  # (N, F)
-        inv_I = binv(I_w)  # (N, F, 3, 3)
-        inv_m_a = inv_m[:, a_idx]
-        inv_m_b = jnp.where(b_is_body[None], inv_m[:, b_safe], 0.0)
-        inv_I_a = inv_I[:, a_idx]
-        inv_I_b = jnp.where(
-            b_is_body[None, :, None, None], inv_I[:, b_safe], 0.0
-        )
-        com_a = com_w[:, a_idx]
-        com_b = jnp.where(b_is_body[None, :, None], com_w[:, b_safe], point)
-        ra = point - com_a
-        rb = point - com_b
+        # --- per-side response data ---
+        have_free = free_m is not None
+        if have_free:
+            inv_m = 1.0 / free_m
+            inv_I = binv(free_I_w)
 
-        # effective mass along normal
-        def eff_mass(direction):
-            ta = jnp.cross(ra, direction)
-            tb = jnp.cross(rb, direction)
-            ka = inv_m_a + jnp.einsum(
-                "nci,ncij,ncj->nc", ta, inv_I_a, ta
+        def free_side(side: _Side):
+            is_free = side.type == T_FREE
+            fi = np.where(is_free, side.free, 0)
+            mask = jnp.asarray(is_free)
+            if not have_free or not is_free.any():
+                z3 = jnp.zeros((N, C, 3), body_pos.dtype)
+                return (
+                    jnp.zeros((N, C), body_pos.dtype),
+                    jnp.zeros((N, C, 3, 3), body_pos.dtype),
+                    z3,
+                    fi,
+                    mask,
+                )
+            im = jnp.where(mask[None], inv_m[:, fi], 0.0)
+            iI = jnp.where(mask[None, :, None, None], inv_I[:, fi], 0.0)
+            r = point - free_com_w[:, fi]
+            return im, iI, r, fi, mask
+
+        im_a, iI_a, r_a_f, fia, mask_fa = free_side(job.a)
+        im_b, iI_b, r_b_f, fib, mask_fb = free_side(job.b)
+
+        # link sides: per-group gathered response operators
+        # K3 (N, Cg, 3, 3) = Jp Ainv Jp^T; W (N, Cg, nv, 3) = Ainv Jp^T
+        K3_a = jnp.zeros((N, C, 3, 3), body_pos.dtype)
+        K3_b = jnp.zeros((N, C, 3, 3), body_pos.dtype)
+        link_ops = []  # (g, idx_a, Jp_a, W_a, copy_a, idx_b, Jp_b, W_b, copy_b)
+        for g_id, (ia, ib) in enumerate(self.link_lists):
+            if len(ia) == 0 and len(ib) == 0:
+                link_ops.append(None)
+                continue
+            J = art_jac[g_id]  # (N, K, Ls, 6, nv)
+            Ainv = art_Ainv[g_id]  # (N, K, nv, nv)
+            g = self.scene.art_groups[g_id]
+
+            def ops(idx, side: _Side):
+                if len(idx) == 0:
+                    return None
+                cp = side.copy[idx]
+                lk = side.link[idx]
+                Jl = J[:, cp, lk]  # (N, Cg, 6, nv)
+                # point jacobian: v_pt = v_origin + w x r
+                link_body = side.body[idx]
+                r = point[:, idx] - body_pos[:, link_body]
+                Jp = Jl[..., 0:3, :] - skew(r) @ Jl[..., 3:6, :]  # (N, Cg, 3, nv)
+                W = Ainv[:, cp] @ jnp.swapaxes(Jp, -1, -2)  # (N, Cg, nv, 3)
+                K3 = Jp @ W
+                return idx, Jp, W, cp, K3
+
+            oa = ops(ia, job.a)
+            ob = ops(ib, job.b)
+            if oa is not None:
+                K3_a = K3_a.at[:, oa[0]].set(oa[4])
+            if ob is not None:
+                K3_b = K3_b.at[:, ob[0]].set(ob[4])
+            link_ops.append((oa, ob))
+
+        # kinematic surface velocity (statics; zero for world plane)
+        kin_lin, kin_ang = body_vel_kin
+
+        def kin_vel(side: _Side, valid):
+            v = kin_lin[:, side.body] + jnp.cross(
+                kin_ang[:, side.body], point - body_pos[:, side.body]
             )
-            kb = inv_m_b + jnp.einsum("nci,ncij,ncj->nc", tb, inv_I_b, tb)
+            # `valid` excludes the WORLD plane pseudo-entity (shape_b == -1),
+            # whose body slot would otherwise alias env body 0
+            is_kin = jnp.asarray((side.type == T_STATIC) & valid)
+            return jnp.where(is_kin[None, :, None], v, 0.0)
+
+        vkin_a = kin_vel(job.a, np.ones(C, bool))
+        vkin_b = kin_vel(job.b, np.asarray(job.shape_b) >= 0)
+
+        def eff_mass(direction):
+            ta = jnp.cross(r_a_f, direction)
+            tb = jnp.cross(r_b_f, direction)
+            ka = im_a + jnp.einsum("nci,ncij,ncj->nc", ta, iI_a, ta)
+            kb = im_b + jnp.einsum("nci,ncij,ncj->nc", tb, iI_b, tb)
+            ka = ka + jnp.einsum("nci,ncij,ncj->nc", direction, K3_a, direction)
+            kb = kb + jnp.einsum("nci,ncij,ncj->nc", direction, K3_b, direction)
             return 1.0 / jnp.clip(ka + kb, 1e-9)
 
         k_n = eff_mass(normal)
@@ -471,39 +588,72 @@ class ContactSolver:
         h_inv = 1.0 / h
         bias = beta * h_inv * jnp.clip(depth - slop, 0.0, None)
 
-        # pre-contact normal velocity for restitution
-        def rel_vel(v_, w_):
-            va = v_[:, a_idx] + jnp.cross(w_[:, a_idx], ra)
-            vb = jnp.where(
-                b_is_body[None, :, None],
-                v_[:, b_safe] + jnp.cross(w_[:, b_safe], rb),
-                vb_kin,
-            )
+        def side_vel(v_, w_, qd_, side_ops_sel, fi, mask_f, r_f, vkin, side: _Side):
+            """Point velocity of one contact side under current velocities."""
+            if have_free:
+                vf = v_[:, fi] + jnp.cross(w_[:, fi], r_f)
+                vel = jnp.where(mask_f[None, :, None], vf, vkin)
+            else:
+                vel = vkin
+            for g_id, lo in enumerate(link_ops):
+                if lo is None:
+                    continue
+                o = lo[side_ops_sel]
+                if o is None:
+                    continue
+                idx, Jp, _, cp, _ = o
+                vpt = jnp.einsum("nckv,ncv->nck", Jp, qd_[g_id][:, cp])
+                vel = vel.at[:, idx].set(vpt)
+            return vel
+
+        def rel_vel(v_, w_, qd_):
+            va = side_vel(v_, w_, qd_, 0, fia, mask_fa, r_a_f, vkin_a, job.a)
+            vb = side_vel(v_, w_, qd_, 1, fib, mask_fb, r_b_f, vkin_b, job.b)
             return va - vb
 
-        # kinematic-collider surface velocity (articulated links / statics):
-        # constant within the velocity solve, from the step-entry body state
-        owner_b = sh.body_slot[np.maximum(np.asarray(job.shape_b), 0)]
-        kin_mask = jnp.asarray((job.body_b < 0) & (job.shape_b >= 0))
-        vb_kin = state.body_linvel[:, owner_b] + jnp.cross(
-            state.body_angvel[:, owner_b], point - state.body_pos[:, owner_b]
-        )
-        vb_kin = jnp.where(kin_mask[None, :, None], vb_kin, 0.0)
-
-        vn0 = jnp.einsum("nck,nck->nc", rel_vel(v, w), normal)
-        bounce = jnp.where(
-            vn0 < -px.bounce_threshold_velocity, -rest * vn0, 0.0
-        )
-        target_vn = jnp.maximum(bias, bounce)
+        vn0 = jnp.einsum("nck,nck->nc", rel_vel(free_v, free_w, art_qd), normal)
+        bounce = jnp.where(vn0 < -px.bounce_threshold_velocity, -rest * vn0, 0.0)
+        # speculative contact: a SEPARATED pair inside contact_offset may
+        # still approach by gap/h this step (vn >= depth/h); only actual
+        # penetration gets the positive Baumgarte/restitution target —
+        # otherwise approaching fingers stall contact_offset away from the
+        # cube and grasps never close
+        target_vn = jnp.where(depth > 0.0, jnp.maximum(bias, bounce), depth * h_inv)
 
         relax = 0.8 if C <= 16 else 0.35
-        iters = max(6, 2 * self_iters(self))
+        iters = max(6, 2 * px.num_position_iterations) + px.num_velocity_iterations
 
-        lam_n = jnp.zeros((N, C), v.dtype)
+        lam_n = jnp.zeros((N, C), body_pos.dtype)
+
+        def apply_impulse(v_, w_, qd_, imp):
+            """imp (N, C, 3) acts +imp on side a, -imp on side b."""
+            if have_free:
+                dv_a = jnp.where(mask_fa[None, :, None], imp * im_a[..., None], 0.0)
+                dw_a = jnp.einsum("ncij,ncj->nci", iI_a, jnp.cross(r_a_f, imp))
+                dv_b = jnp.where(mask_fb[None, :, None], -imp * im_b[..., None], 0.0)
+                dw_b = jnp.einsum("ncij,ncj->nci", iI_b, jnp.cross(r_b_f, -imp))
+                v_ = v_.at[:, fia].add(dv_a)
+                w_ = w_.at[:, fia].add(jnp.where(mask_fa[None, :, None], dw_a, 0.0))
+                v_ = v_.at[:, fib].add(dv_b)
+                w_ = w_.at[:, fib].add(jnp.where(mask_fb[None, :, None], dw_b, 0.0))
+            qd_ = list(qd_)
+            for g_id, lo in enumerate(link_ops):
+                if lo is None:
+                    continue
+                oa, ob = lo
+                if oa is not None:
+                    idx, _, W, cp, _ = oa
+                    dqd = jnp.einsum("ncvk,nck->ncv", W, imp[:, idx])
+                    qd_[g_id] = qd_[g_id].at[:, cp].add(dqd)
+                if ob is not None:
+                    idx, _, W, cp, _ = ob
+                    dqd = jnp.einsum("ncvk,nck->ncv", W, -imp[:, idx])
+                    qd_[g_id] = qd_[g_id].at[:, cp].add(dqd)
+            return v_, w_, tuple(qd_)
 
         def iter_body(carry, _):
-            v_, w_, lam = carry
-            vr = rel_vel(v_, w_)
+            v_, w_, qd_, lam = carry
+            vr = rel_vel(v_, w_, qd_)
             vn = jnp.einsum("nck,nck->nc", vr, normal)
             dlam = relax * k_n * (target_vn - vn)
             new_lam = jnp.clip(lam + dlam, 0.0, None)
@@ -515,47 +665,41 @@ class ContactSolver:
             vt_norm = jnp.linalg.norm(vt, axis=-1).clip(1e-9)
             t_dir = vt / vt_norm[..., None]
             k_t = eff_mass(t_dir)
-            dlam_t = jnp.clip(
-                relax * k_t * vt_norm, 0.0, mu * new_lam
-            )
+            dlam_t = jnp.clip(relax * k_t * vt_norm, 0.0, mu * new_lam)
             imp = imp - jnp.where(active, dlam_t, 0.0)[..., None] * t_dir
 
-            dv_a = imp * inv_m_a[..., None]
-            dw_a = jnp.einsum("ncij,ncj->nci", inv_I_a, jnp.cross(ra, imp))
-            dv_b = -imp * inv_m_b[..., None]
-            dw_b = jnp.einsum("ncij,ncj->nci", inv_I_b, jnp.cross(rb, -imp))
+            v_, w_, qd_ = apply_impulse(v_, w_, qd_, imp)
+            return (v_, w_, qd_, new_lam), None
 
-            v_ = v_.at[:, a_idx].add(dv_a)
-            w_ = w_.at[:, a_idx].add(dw_a)
-            v_ = v_.at[:, b_safe].add(jnp.where(b_is_body[None, :, None], dv_b, 0.0))
-            w_ = w_.at[:, b_safe].add(jnp.where(b_is_body[None, :, None], dw_b, 0.0))
-            return (v_, w_, new_lam), None
-
-        (v, w, lam_n), _ = jax.lax.scan(
-            iter_body, (v, w, lam_n), None, length=iters
+        (free_v, free_w, art_qd, lam_n), _ = jax.lax.scan(
+            iter_body,
+            (free_v, free_w, tuple(art_qd), lam_n),
+            None,
+            length=iters,
         )
 
-        # net contact force per ENV BODY (normal impulses / h), covering free
-        # bodies AND the links/statics they press on (test12_add_joint.py.py:131
-        # reads net contact forces on articulated links)
-        cf = jnp.zeros((N, B_env, 3), v.dtype)
+        # net contact force per ENV BODY (normal impulses / h), symmetric on
+        # both sides (test12_add_joint.py.py:131 reads forces on links)
+        cf = jnp.zeros((N, B_env, 3), body_pos.dtype)
         f_c = jnp.where(active, lam_n, 0.0)[..., None] * normal * h_inv
-        fg_body = np.asarray(self.scene.free_group.body_slot)
-        slot_a = jnp.asarray(fg_body[np.asarray(job.body_a)])
-        cf = cf.at[:, slot_a].add(f_c)
-        slot_b = np.where(
-            np.asarray(job.body_b) >= 0,
-            fg_body[np.maximum(np.asarray(job.body_b), 0)],
-            sh.body_slot[np.maximum(np.asarray(job.shape_b), 0)],
-        )
+        cf = cf.at[:, jnp.asarray(job.a.body)].add(f_c)
         has_b = jnp.asarray(np.asarray(job.shape_b) >= 0)
-        cf = cf.at[:, jnp.asarray(slot_b)].add(
+        cf = cf.at[:, jnp.asarray(job.b.body)].add(
             jnp.where(has_b[None, :, None], -f_c, 0.0)
         )
-        return v, w, cf
+        return free_v, free_w, list(art_qd), cf
 
-def self_iters(solver: ContactSolver):
-    return solver.scene.sim_params.physx.num_position_iterations
+
+def _pair_allowed(scene, si, sj):
+    sh = scene.shapes
+    if sh.actor_slot[si] == sh.actor_slot[sj]:
+        return False  # self-collision off within an actor's shapes
+    gi, gj = sh.collision_group[si], sh.collision_group[sj]
+    if not (gi == gj or gi == -1 or gj == -1):
+        return False
+    if (sh.collision_filter[si] & sh.collision_filter[sj]) != 0:
+        return False
+    return True
 
 
 def _qconj(q):
@@ -589,6 +733,110 @@ def _segment_closest(a0, a1, b0, b1):
     t = jnp.clip((b * s + f) / jnp.clip(e, 1e-9), 0.0, 1.0)
     s = jnp.clip((b * t - c) / jnp.clip(a, 1e-9), 0.0, 1.0)
     return a0 + d1 * s[..., None], b0 + d2 * t[..., None]
+
+
+def _box_box_edge(pa, qa, size_a, pb, qb, size_b):
+    """Deepest edge-edge contact between two OBBs (one candidate per pair).
+
+    SAT over the 9 edge-cross axes; the winning axis pair's closest edge
+    points give the contact. Catches the corner-on-corner / 45-degree
+    stacking cases vertex-in-box misses
+    (/root/reference/examples/large_mass_ratio.py:110-114)."""
+    from ..math.quat import quat_to_matrix
+
+    Ra = quat_to_matrix(qa)  # (N, C, 3, 3) columns = axes
+    Rb = quat_to_matrix(qb)
+    d = pb - pa
+    big = jnp.asarray(1e9, pa.dtype)
+
+    # face-axis separations (6): the edge contact only fires when an edge
+    # cross axis is the MINIMUM-penetration (max separation) axis — else the
+    # vertex-in-box contacts own the manifold (plain SAT axis selection)
+    face_sep = jnp.full(pa.shape[:-1], -big)
+    for R, own_size in ((Ra, size_a), (Rb, size_b)):
+        for k in range(3):
+            axis_n = R[..., :, k]
+            ra = sum(
+                jnp.abs(jnp.einsum("...k,...k->...", axis_n, Ra[..., :, q]))
+                * size_a[..., q]
+                for q in range(3)
+            )
+            rb = sum(
+                jnp.abs(jnp.einsum("...k,...k->...", axis_n, Rb[..., :, q]))
+                * size_b[..., q]
+                for q in range(3)
+            )
+            dist = jnp.einsum("...k,...k->...", axis_n, d)
+            face_sep = jnp.maximum(face_sep, jnp.abs(dist) - (ra + rb))
+
+    best_sep = jnp.full(pa.shape[:-1], -big)
+    best_axis = jnp.zeros_like(pa)
+    best_i = jnp.zeros(pa.shape[:-1], jnp.int32)
+    best_j = jnp.zeros(pa.shape[:-1], jnp.int32)
+
+    for i in range(3):
+        for j in range(3):
+            ea = Ra[..., :, i]  # edge direction on a
+            eb = Rb[..., :, j]
+            axis = jnp.cross(ea, eb)
+            ln = jnp.linalg.norm(axis, axis=-1)
+            ok = ln > 1e-6
+            axis_n = axis / jnp.clip(ln, 1e-9)[..., None]
+            # project both boxes
+            ra = sum(
+                jnp.abs(jnp.einsum("...k,...k->...", axis_n, Ra[..., :, k]))
+                * size_a[..., k]
+                for k in range(3)
+            )
+            rb = sum(
+                jnp.abs(jnp.einsum("...k,...k->...", axis_n, Rb[..., :, k]))
+                * size_b[..., k]
+                for k in range(3)
+            )
+            dist = jnp.einsum("...k,...k->...", axis_n, d)
+            sep = jnp.abs(dist) - (ra + rb)  # negative = overlap on this axis
+            sep = jnp.where(ok, sep, -big)
+            better = sep > best_sep
+            best_sep = jnp.where(better, sep, best_sep)
+            # axis oriented b -> a
+            sgn = jnp.where(dist > 0, -1.0, 1.0)
+            best_axis = jnp.where(better[..., None], axis_n * sgn[..., None], best_axis)
+            best_i = jnp.where(better, i, best_i)
+            best_j = jnp.where(better, j, best_j)
+
+    # build the supporting edges on each box for the winning axis
+    def support_edge(R, size, center, axis_out, edir_idx):
+        """Edge most along axis_out, excluding the edge direction axis."""
+        corner = jnp.zeros_like(center)
+        for k in range(3):
+            ak = R[..., :, k]
+            s = jnp.sign(jnp.einsum("...k,...k->...", ak, axis_out))
+            s = jnp.where(s == 0, 1.0, s)
+            use = (edir_idx != k)
+            corner = corner + jnp.where(
+                use[..., None], ak * (s * size[..., k])[..., None], 0.0
+            )
+        Rt = jnp.swapaxes(R, -1, -2)  # (..., 3 axes, 3 components)
+        edir = jnp.take_along_axis(
+            Rt, edir_idx[..., None, None].astype(jnp.int32), axis=-2
+        )[..., 0, :]
+        half = jnp.take_along_axis(size, edir_idx[..., None].astype(jnp.int32), -1)[
+            ..., 0
+        ]
+        p0 = center + corner - edir * half[..., None]
+        p1 = center + corner + edir * half[..., None]
+        return p0, p1
+
+    a0, a1 = support_edge(Ra, size_a, pa, -best_axis, best_i)
+    b0, b1 = support_edge(Rb, size_b, pb, best_axis, best_j)
+    pA, pB = _segment_closest(a0, a1, b0, b1)
+    point = 0.5 * (pA + pB)
+    # fire only when the boxes genuinely overlap (every SAT axis overlaps)
+    # AND an edge axis is the minimum-penetration one
+    overlap = jnp.maximum(best_sep, face_sep) < 0
+    use_edge = best_sep >= face_sep
+    depth = jnp.where(overlap & use_edge, -best_sep, -1.0)
+    return point, best_axis, depth
 
 
 def _heightfield_sdf(data, hscale, offset, p):

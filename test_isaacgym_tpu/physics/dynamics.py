@@ -351,6 +351,7 @@ def forward_dynamics(
     inertia=None,
     f_ext=None,
     base_wrench=None,
+    return_op=False,
 ):
     """Solve (M + h*diag(d_eff)) qdd = tau - C - g + ext.
 
@@ -375,6 +376,11 @@ def forward_dynamics(
     A = M + h * jnp.eye(M.shape[-1], dtype=M.dtype) * d_eff[..., None, :]
     # batched SPD solve — unrolled Cholesky (utils/linalg.py)
     qdd = spd_solve(A, rhs)
+    if return_op:
+        # A is the implicit velocity-level operator: the contact solver uses
+        # A^-1 so joint-space contact impulses feel the drives' implicit
+        # damping (stable force-limited squeezing)
+        return qdd, M, A
     return qdd, M
 
 

@@ -29,10 +29,10 @@ from ..math.quat import (
     quat_to_matrix,
 )
 from ..math.spatial import skew
-from ..utils.linalg import spd_solve
+from ..utils.linalg import spd_inv, spd_solve
 from . import contacts as contacts_mod
 from . import dynamics
-from .kinematics import ArtTopo, body_jacobian, fk, topo_from_group
+from .kinematics import ArtTopo, body_jacobian, fk, jacobian as link_jacobian, topo_from_group
 
 DOF_MODE_NONE, DOF_MODE_POS, DOF_MODE_VEL, DOF_MODE_EFFORT = 0, 1, 2, 3
 
@@ -171,7 +171,8 @@ class Stepper:
         new_dof_pos = state.dof_pos
         new_dof_vel = state.dof_vel
 
-        # ---------- articulated groups ----------
+        # ---------- phase A: articulated groups — velocities (pre-contact) ----------
+        group_data = []
         for g_i, gi in enumerate(self.groups):
             topo = gi.topo
             K = len(gi.slots)
@@ -269,18 +270,29 @@ class Stepper:
             )
 
             # armature adds to the mass-matrix diagonal: A = M + h*d_eff + armature
-            qdd, _ = dynamics.forward_dynamics(
+            qdd, M_full, A_op = dynamics.forward_dynamics(
                 topo, pos, quat, lin, ang, qd, tau, h,
                 d_eff=d_eff + diag_add / h,
                 gravity=g_vec,
                 mass=mass_l, com=com_l, inertia=inert_l,
                 f_ext=f_ext,
+                return_op=True,
             )
 
             # --- integrate joints (semi-implicit) ---
             qd_new = qd + h * qdd[..., base:]
             maxv = params.dof_max_velocity[:, didx]
             qd_new = jnp.clip(qd_new, -maxv, maxv)
+
+            # joint Coulomb friction (DOF property `friction`,
+            # /root/reference/examples/joint_monkey.py:121-126): a friction
+            # torque F can change joint velocity by at most F*h/M_jj in one
+            # substep; removing min(|qd|, that) is the unconditionally stable
+            # velocity-level form (never reverses sign)
+            fric = params.dof_friction[:, didx]
+            m_jj = jnp.diagonal(M_full, axis1=-2, axis2=-1)[..., base:]
+            dv_max = fric * h / jnp.clip(m_jj, 1e-9)
+            qd_new = qd_new - jnp.clip(qd_new, -dv_max, dv_max)
 
             # --- attractors: implicit 6-DOF spring-damper impulses ---
             # Soft-constraint velocity solve (stable at the reference's
@@ -329,32 +341,25 @@ class Stepper:
                 lam = jnp.where(en[:, None], lam, 0.0)
                 dqd = jnp.einsum("nij,nj->ni", X, lam)
                 qd_new = qd_new.at[:, copy].add(dqd)
-            q_new = q + h * qd_new
-            # limits: clamp and kill outward velocity
-            lo = params.dof_lower[:, didx]
-            hi = params.dof_upper[:, didx]
-            has_lim = params.dof_has_limits[:, didx]
-            q_clamped = jnp.clip(q_new, lo, hi)
-            hit_lo = has_lim & (q_new < lo)
-            hit_hi = has_lim & (q_new > hi)
-            q_new = jnp.where(has_lim, q_clamped, q_new)
-            qd_new = jnp.where(hit_lo, jnp.maximum(qd_new, 0.0), qd_new)
-            qd_new = jnp.where(hit_hi, jnp.minimum(qd_new, 0.0), qd_new)
 
-            new_dof_vel = new_dof_vel.at[:, didx].set(qd_new)
-            new_dof_pos = new_dof_pos.at[:, didx].set(q_new)
-
-            if not topo.fixed_base:
+            # assemble the generalized velocity vector matching the jacobian
+            # column layout ([lin(3), ang(3), joints] for floating base)
+            if topo.fixed_base:
+                qd_full = qd_new
+            else:
                 v_new = root_lin + h * qdd[..., 0:3]
                 w_new = root_ang + h * qdd[..., 3:6]
-                new_root_linvel = new_root_linvel.at[:, slots].set(v_new)
-                new_root_angvel = new_root_angvel.at[:, slots].set(w_new)
-                new_root_pos = new_root_pos.at[:, slots].set(root_pos + h * v_new)
-                new_root_quat = new_root_quat.at[:, slots].set(
-                    quat_integrate(root_quat, w_new, h)
+                qd_full = jnp.concatenate([v_new, w_new, qd_new], axis=-1)
+            group_data.append(
+                dict(
+                    pos=pos, quat=quat, qd_full=qd_full, A_op=A_op,
+                    q=q, didx=didx, slots=slots,
+                    root_pos=root_pos, root_quat=root_quat, base=base,
                 )
+            )
 
-        # ---------- free bodies ----------
+        # ---------- phase B: free bodies — velocities (pre-contact) ----------
+        free_data = None
         if self.free is not None and self.free.count:
             fslots = jnp.asarray(self.free.slots)
             fbody = jnp.asarray(self.free.body_slot)
@@ -391,17 +396,99 @@ class Stepper:
             mav = jnp.asarray(self.free.max_angular_velocity, jnp.float32)
             v1 = jnp.clip(v1, -mlv[..., None], mlv[..., None])
             w1 = jnp.clip(w1, -mav[..., None], mav[..., None])
+            free_data = dict(
+                p0=p0, q0=q0, v=v1, w=w1, m=m, I_w=I_w, com_w=com_w, com=com,
+                fslots=fslots, fbody=fbody,
+            )
 
-            # contacts correct velocities before position integration
-            v1, w1, cf_body = self.contact.solve_free(
-                self, state, p0, q0, v1, w1, m, I_w, com_w, params, h
+        # ---------- phase C: unified contact solve (free bodies + links) ----------
+        if self.contact.enabled:
+            # CURRENT body poses: articulation links at this substep's FK,
+            # free roots at this substep's entry, statics from the cache
+            cur_bp, cur_bq = state.body_pos, state.body_quat
+            for gi, gd in zip(self.groups, group_data):
+                bidx = jnp.asarray(gi.body_idx)
+                rl = jnp.asarray(gi.real_links)
+                cur_bp = cur_bp.at[:, bidx].set(gd["pos"][..., rl, :])
+                cur_bq = cur_bq.at[:, bidx].set(gd["quat"][..., rl, :])
+            if free_data is not None:
+                cur_bp = cur_bp.at[:, free_data["fbody"]].set(free_data["p0"])
+                cur_bq = cur_bq.at[:, free_data["fbody"]].set(free_data["q0"])
+
+            art_jac, art_Ainv = [], []
+            for g_i, (gi, gd) in enumerate(zip(self.groups, group_data)):
+                ia, ib = self.contact.link_lists[g_i]
+                if len(ia) + len(ib):
+                    art_jac.append(link_jacobian(gi.topo, gd["pos"], gd["quat"]))
+                    art_Ainv.append(spd_inv(gd["A_op"]))
+                else:
+                    art_jac.append(None)
+                    art_Ainv.append(None)
+
+            qd_fulls = [gd["qd_full"] for gd in group_data]
+            fv = free_data["v"] if free_data else None
+            fw = free_data["w"] if free_data else None
+            fv, fw, qd_fulls, cf_body = self.contact.solve(
+                cur_bp,
+                cur_bq,
+                (state.body_linvel, state.body_angvel),
+                fv,
+                fw,
+                free_data["m"] if free_data else None,
+                free_data["I_w"] if free_data else None,
+                free_data["com_w"] if free_data else None,
+                qd_fulls,
+                art_jac,
+                art_Ainv,
+                params,
+                h,
             )
             state = state._replace(contact_force=cf_body)
+            for gd, qd_full in zip(group_data, qd_fulls):
+                gd["qd_full"] = qd_full
+            if free_data is not None:
+                free_data["v"] = fv
+                free_data["w"] = fw
 
+        # ---------- phase D: limits + position integration ----------
+        for gi, gd in zip(self.groups, group_data):
+            topo = gi.topo
+            base = gd["base"]
+            didx = gd["didx"]
+            slots = gd["slots"]
+            qd_new = gd["qd_full"][..., base:]
+            q_new = gd["q"] + h * qd_new
+            lo = params.dof_lower[:, didx]
+            hi = params.dof_upper[:, didx]
+            has_lim = params.dof_has_limits[:, didx]
+            q_clamped = jnp.clip(q_new, lo, hi)
+            hit_lo = has_lim & (q_new < lo)
+            hit_hi = has_lim & (q_new > hi)
+            q_new = jnp.where(has_lim, q_clamped, q_new)
+            qd_new = jnp.where(hit_lo, jnp.maximum(qd_new, 0.0), qd_new)
+            qd_new = jnp.where(hit_hi, jnp.minimum(qd_new, 0.0), qd_new)
+            new_dof_vel = new_dof_vel.at[:, didx].set(qd_new)
+            new_dof_pos = new_dof_pos.at[:, didx].set(q_new)
+            if not topo.fixed_base:
+                v_new = gd["qd_full"][..., 0:3]
+                w_new = gd["qd_full"][..., 3:6]
+                new_root_linvel = new_root_linvel.at[:, slots].set(v_new)
+                new_root_angvel = new_root_angvel.at[:, slots].set(w_new)
+                new_root_pos = new_root_pos.at[:, slots].set(
+                    gd["root_pos"] + h * v_new
+                )
+                new_root_quat = new_root_quat.at[:, slots].set(
+                    quat_integrate(gd["root_quat"], w_new, h)
+                )
+
+        if free_data is not None:
+            fd = free_data
+            v1, w1 = fd["v"], fd["w"]
             # integrate about com to respect com offsets
-            com_w1 = com_w + h * v_com(v1, w1, com_w, p0)
-            q1 = quat_integrate(q0, w1, h)
-            p1 = com_w1 - quat_rotate(q1, com)
+            com_w1 = fd["com_w"] + h * v_com(v1, w1, fd["com_w"], fd["p0"])
+            q1 = quat_integrate(fd["q0"], w1, h)
+            p1 = com_w1 - quat_rotate(q1, fd["com"])
+            fslots = fd["fslots"]
             new_root_pos = new_root_pos.at[:, fslots].set(p1)
             new_root_quat = new_root_quat.at[:, fslots].set(q1)
             new_root_linvel = new_root_linvel.at[:, fslots].set(v1)
