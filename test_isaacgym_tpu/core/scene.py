@@ -190,6 +190,7 @@ class ShapeSet:
     collision_group: np.ndarray  # (S,) actor collision group (env idx or -1)
     collision_filter: np.ndarray  # (S,) bitmask; shared-bit => no collision
     actor_slot: np.ndarray  # (S,)
+    hull_id: np.ndarray = None  # (S,) index into Scene.hulls, -1 for primitives
 
     @property
     def count(self):
@@ -271,6 +272,8 @@ class Scene:
     angular_damping: np.ndarray  # (B,)
     # terrain heightfield (optional, set via add_heightfield)
     heightfield: Optional[object] = None
+    # convex hull vertex sets (local, centered) indexed by ShapeSet.hull_id
+    hulls: List[np.ndarray] = dataclasses.field(default_factory=list)
     # attractor templates (env 0 layout; all envs homogeneous)
     attractors: List[AttractorMeta] = dataclasses.field(default_factory=list)
     # per-env attractor init values (N, T, .) used to seed Actions/PhysParams
@@ -285,6 +288,13 @@ class Scene:
             if a.name == name:
                 return a
         raise KeyError(name)
+
+
+def _np_quat_rotate(q, v):
+    """Rotate vector v by xyzw quaternion q (host-side numpy)."""
+    qv, qw = np.asarray(q[:3]), float(q[3])
+    t = 2.0 * np.cross(qv, v)
+    return v + qw * t + np.cross(qv, t)
 
 
 @dataclasses.dataclass
@@ -579,11 +589,15 @@ class SceneBuilder:
         # --- shapes --------------------------------------------------------
         sh_body, sh_kind, sh_size, sh_pos, sh_quat = [], [], [], [], []
         sh_fric, sh_rest, sh_group, sh_filter, sh_slot = [], [], [], [], []
+        sh_hull = []
+        hulls: List[np.ndarray] = []
+        hull_of_geom: Dict[int, int] = {}  # id(GeomSpec) -> hull index (dedupe)
         for slot, p in enumerate(protos):
             meta = actors[slot]
             for li, l in enumerate(p.asset.links):
                 for g in l.geoms:
                     sh_body.append(meta.body_start + li)
+                    hull_id = -1
                     if g.kind == GEOM_SPHERE:
                         sh_kind.append(SHAPE_SPHERE)
                         sh_size.append((g.size[0], 0, 0))
@@ -598,16 +612,31 @@ class SceneBuilder:
                         if g.vertices is not None and len(g.vertices):
                             h = (g.vertices.max(0) - g.vertices.min(0)) / 2
                             sh_size.append(tuple(np.maximum(h, 1e-4)))
+                            if id(g) in hull_of_geom:
+                                hull_id = hull_of_geom[id(g)]
+                            else:
+                                hull_id = len(hulls)
+                                hulls.append(
+                                    np.asarray(
+                                        g.vertices - g.center(), np.float32
+                                    )
+                                )
+                                hull_of_geom[id(g)] = hull_id
                         else:
                             sh_size.append((0.05, 0.05, 0.05))
                     else:
                         sh_kind.append(SHAPE_SPHERE)
                         sh_size.append((0.05, 0, 0))
-                    center = (
-                        g.center()
-                        if g.kind == GEOM_MESH
-                        else np.asarray(g.pos, dtype=np.float64)
-                    )
+                    if g.kind == GEOM_MESH:
+                        # shape origin = hull AABB center, expressed in the
+                        # LINK frame (geom origin offset + rotation applied)
+                        center = np.asarray(g.pos, np.float64) + _np_quat_rotate(
+                            np.asarray(g.quat, np.float64),
+                            g.center().astype(np.float64),
+                        )
+                    else:
+                        center = np.asarray(g.pos, dtype=np.float64)
+                    sh_hull.append(hull_id)
                     sh_pos.append(center)
                     sh_quat.append(tuple(g.quat))
                     sh_fric.append(g.friction)
@@ -626,6 +655,7 @@ class SceneBuilder:
             collision_group=np.array(sh_group, dtype=np.int32) if sh_group else np.zeros(0, np.int32),
             collision_filter=np.array(sh_filter, dtype=np.int32) if sh_filter else np.zeros(0, np.int32),
             actor_slot=np.array(sh_slot, dtype=np.int32) if sh_slot else np.zeros(0, np.int32),
+            hull_id=np.array(sh_hull, dtype=np.int32) if sh_hull else np.zeros(0, np.int32),
         )
 
         # --- default body/dof params --------------------------------------
@@ -705,6 +735,7 @@ class SceneBuilder:
             linear_damping=lin_damp,
             angular_damping=ang_damp,
             heightfield=self.heightfield,
+            hulls=hulls,
             attractors=attr_template,
             attractor_init=attr_init,
         )

@@ -127,7 +127,12 @@ class FrankaCubeEnv:
             dof_damping=p.dof_damping.at[:, sl].set(jnp.asarray(damp)),
             dof_drive_mode=p.dof_drive_mode.at[:, sl].set(jnp.asarray(mode)),
         )
-        q0 = jnp.tile(jnp.asarray(DEFAULT_DOF_POS), (self.num_envs, 1))
+        # default pose = joint-limit mids, grippers open (reference :195-198)
+        lo = np.asarray(self.sim.params.dof_lower)[0, sl]
+        hi = np.asarray(self.sim.params.dof_upper)[0, sl]
+        mids = 0.5 * (lo + hi)
+        mids[7:] = hi[7:]
+        q0 = jnp.tile(jnp.asarray(mids, jnp.float32), (self.num_envs, 1))
         st = self.sim.state
         st = st._replace(dof_pos=st.dof_pos.at[:, sl].set(q0))
         self.sim.state = self.sim.stepper.refresh_body_state(st, self.sim.params)

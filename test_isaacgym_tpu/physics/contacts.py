@@ -58,6 +58,16 @@ T_FREE, T_LINK, T_STATIC = 0, 1, 2
 K_SPH_PLANE, K_CAP_PLANE, K_BOX_PLANE = 0, 1, 2
 K_SPH_SPH, K_SPH_BOX, K_SPH_CAP, K_CAP_CAP, K_CAP_BOX, K_BOX_BOX = 3, 4, 5, 6, 7, 8
 K_BOX_BOX_EDGE = 9
+# convex-hull kinds (mesh shapes with a hull; VHACD pieces are hulls too)
+K_HULL_PLANE = 10  # 4 deepest hull verts vs ground/heightfield
+K_HULLV_BOX = 11  # 4 deepest hull(a) verts in box(b)
+K_BOXV_HULL = 12  # 4 deepest box(b) corners in hull(a)
+K_HULLV_HULL = 13  # 4 deepest hull(a) verts in hull(b)
+K_HULLV_HULL_R = 14  # 4 deepest hull(b) verts in hull(a)
+K_SPH_HULL = 15  # sphere(a) vs hull(b)
+K_CAP_HULL = 16  # capsule(a) endpoint spheres vs hull(b)
+
+_MANIFOLD = 4  # contact manifold size for hull vertex kinds
 
 
 class _Side(NamedTuple):
@@ -132,34 +142,65 @@ class ContactSolver:
         rows: List[tuple] = []  # (ea, eb, kind, sa, sb, slot)
         WORLD = _Entity(T_STATIC, 0, 0, 0, 0, 0)
 
+        def eff_kind(s):
+            """Mesh shapes with a convex hull use the hull kinds; hull-less
+            meshes (missing blobs) degrade to their bounding box."""
+            k = sh.kind[s]
+            if k == SHAPE_MESH:
+                hid = sh.hull_id[s] if sh.hull_id is not None else -1
+                return SHAPE_MESH if hid >= 0 and len(scene.hulls[hid]) >= 4 else SHAPE_BOX
+            return k
+
         # --- plane / heightfield contacts (all dynamic shapes) ---
         if scene.ground is not None or scene.heightfield is not None:
             for s, e in dyn_shapes:
-                k = sh.kind[s]
+                k = eff_kind(s)
                 if k == SHAPE_SPHERE:
                     rows.append((e, WORLD, K_SPH_PLANE, s, -1, 0))
                 elif k == SHAPE_CAPSULE:
                     rows.append((e, WORLD, K_CAP_PLANE, s, -1, 0))
                     rows.append((e, WORLD, K_CAP_PLANE, s, -1, 1))
-                elif k in (SHAPE_BOX, SHAPE_MESH):
+                elif k == SHAPE_MESH:
+                    for c in range(_MANIFOLD):
+                        rows.append((e, WORLD, K_HULL_PLANE, s, -1, c))
+                elif k == SHAPE_BOX:
                     for c in range(8):
                         rows.append((e, WORLD, K_BOX_PLANE, s, -1, c))
 
         # --- pairwise contacts ---
         def kind_code(ka, kb):
-            m = {SHAPE_MESH: SHAPE_BOX}  # meshes collide as their bounding boxes (v1)
-            ka = m.get(ka, ka)
-            kb = m.get(kb, kb)
+            """List of (code, swap, nslots) narrowphase jobs for a shape pair."""
+            M4 = _MANIFOLD
             table = {
-                (SHAPE_SPHERE, SHAPE_SPHERE): (K_SPH_SPH, False, 1),
-                (SHAPE_SPHERE, SHAPE_BOX): (K_SPH_BOX, False, 1),
-                (SHAPE_BOX, SHAPE_SPHERE): (K_SPH_BOX, True, 1),
-                (SHAPE_SPHERE, SHAPE_CAPSULE): (K_SPH_CAP, False, 1),
-                (SHAPE_CAPSULE, SHAPE_SPHERE): (K_SPH_CAP, True, 1),
-                (SHAPE_CAPSULE, SHAPE_CAPSULE): (K_CAP_CAP, False, 1),
-                (SHAPE_CAPSULE, SHAPE_BOX): (K_CAP_BOX, False, 2),
-                (SHAPE_BOX, SHAPE_CAPSULE): (K_CAP_BOX, True, 2),
-                (SHAPE_BOX, SHAPE_BOX): (K_BOX_BOX, False, 16),
+                (SHAPE_SPHERE, SHAPE_SPHERE): [(K_SPH_SPH, False, 1)],
+                (SHAPE_SPHERE, SHAPE_BOX): [(K_SPH_BOX, False, 1)],
+                (SHAPE_BOX, SHAPE_SPHERE): [(K_SPH_BOX, True, 1)],
+                (SHAPE_SPHERE, SHAPE_CAPSULE): [(K_SPH_CAP, False, 1)],
+                (SHAPE_CAPSULE, SHAPE_SPHERE): [(K_SPH_CAP, True, 1)],
+                (SHAPE_CAPSULE, SHAPE_CAPSULE): [(K_CAP_CAP, False, 1)],
+                (SHAPE_CAPSULE, SHAPE_BOX): [(K_CAP_BOX, False, 2)],
+                (SHAPE_BOX, SHAPE_CAPSULE): [(K_CAP_BOX, True, 2)],
+                (SHAPE_BOX, SHAPE_BOX): [
+                    (K_BOX_BOX, False, 16),
+                    (K_BOX_BOX_EDGE, False, 1),
+                ],
+                # hull kinds: hull always on side a for *V_BOX/BOXV pairs
+                (SHAPE_MESH, SHAPE_BOX): [
+                    (K_HULLV_BOX, False, M4),
+                    (K_BOXV_HULL, False, M4),
+                ],
+                (SHAPE_BOX, SHAPE_MESH): [
+                    (K_HULLV_BOX, True, M4),
+                    (K_BOXV_HULL, True, M4),
+                ],
+                (SHAPE_MESH, SHAPE_MESH): [
+                    (K_HULLV_HULL, False, M4),
+                    (K_HULLV_HULL_R, False, M4),
+                ],
+                (SHAPE_SPHERE, SHAPE_MESH): [(K_SPH_HULL, False, 1)],
+                (SHAPE_MESH, SHAPE_SPHERE): [(K_SPH_HULL, True, 1)],
+                (SHAPE_CAPSULE, SHAPE_MESH): [(K_CAP_HULL, False, 2)],
+                (SHAPE_MESH, SHAPE_CAPSULE): [(K_CAP_HULL, True, 2)],
             }
             return table[(ka, kb)]
 
@@ -190,15 +231,10 @@ class ContactSolver:
                 "hook up the broadphase for this scene size"
             )
         for si, ei, sj, ej in pairs:
-            code, swap, nslots = kind_code(sh.kind[si], sh.kind[sj])
-            if swap:
-                si, sj, ei, ej = sj, si, ej, ei
-            for c in range(nslots):
-                rows.append((ei, ej, code, si, sj, c))
-            if code == K_BOX_BOX:
-                # deepest edge-edge pair (stacking stability,
-                # /root/reference/examples/large_mass_ratio.py:110-114)
-                rows.append((ei, ej, K_BOX_BOX_EDGE, si, sj, 0))
+            for code, swap, nslots in kind_code(eff_kind(si), eff_kind(sj)):
+                ssi, ssj, eei, eej = (sj, si, ej, ei) if swap else (si, sj, ei, ej)
+                for c in range(nslots):
+                    rows.append((eei, eej, code, ssi, ssj, c))
 
         if not rows:
             return
@@ -256,6 +292,29 @@ class ContactSolver:
             self.plane_friction = np.float32(1.0)
             self.plane_restitution = np.float32(0.0)
 
+        # --- convex hull tables (SURVEY.md N8: VHACD hulls are consumed
+        # here — each decomposition piece is one hull shape) ---
+        self.hull_verts = None
+        if scene.hulls:
+            Vmax = max(len(h) for h in scene.hulls)
+            verts, planes = [], []
+            fmax = 4
+            plane_list = []
+            for hv in scene.hulls:
+                eq = _hull_planes(hv)
+                plane_list.append(eq)
+                fmax = max(fmax, len(eq))
+            for hv, eq in zip(scene.hulls, plane_list):
+                c = hv.mean(0)
+                pad = np.tile(c, (Vmax - len(hv), 1))
+                verts.append(np.concatenate([hv, pad], 0))
+                # pad planes with a never-binding face
+                peq = np.tile(np.array([[0, 0, 1, -1e9]], np.float32),
+                              (fmax - len(eq), 1))
+                planes.append(np.concatenate([eq, peq], 0))
+            self.hull_verts = jnp.asarray(np.stack(verts), jnp.float32)
+            self.hull_planes = jnp.asarray(np.stack(planes), jnp.float32)
+
     # ------------------------------------------------------------------
     def narrowphase(self, body_pos, body_quat, params):
         """(point, normal(b->a), depth, active) for every candidate contact,
@@ -294,7 +353,7 @@ class ContactSolver:
                 return _heightfield_sdf(self.hf_data, self.hf_scale, self.hf_off, p)
         else:
             def ground_sdf(p):
-                d = jnp.einsum("nck,k->nc", p, pn) - pd
+                d = jnp.einsum("...k,k->...", p, pn) - pd
                 return d, jnp.broadcast_to(pn, p.shape)
 
         r_a = size_a[..., 0]
@@ -430,8 +489,176 @@ class ContactSolver:
         point, normal, depth = sel(K_BOX_BOX, pt_bb, n_bb, dep_bb)
         point, normal, depth = sel(K_BOX_BOX_EDGE, pt_ee, n_ee, dep_ee)
 
+        if self.hull_verts is not None:
+            point, normal, depth = self._hull_narrowphase(
+                point, normal, depth,
+                pa, qa, pb, qb, size_a, size_b, zdir, ground_sdf, params,
+            )
+
         active = depth > -self.scene.sim_params.physx.contact_offset
         return point, normal, depth, active
+
+    # ------------------------------------------------------------------
+    def _hull_narrowphase(
+        self, point, normal, depth, pa, qa, pb, qb, size_a, size_b, zdir,
+        ground_sdf, params,
+    ):
+        """Convex-hull contacts: vertex-manifold narrowphase for mesh shapes.
+
+        Each hull job group is _MANIFOLD consecutive rows sharing one shape
+        pair; we compute all candidate vertices once per pair, take the
+        _MANIFOLD deepest (lax.top_k), and scatter them into the rows.
+        Subset gathers use static numpy indices, so only hull rows pay the
+        (pairs x verts) cost."""
+        job = self.job
+        sh = self.scene.shapes
+        kind = job.kind
+        slot = job.slot
+        M4 = _MANIFOLD
+
+        def rows0(code):
+            return np.nonzero((kind == code) & (slot == 0))[0]
+
+        def scale_of(i0, shape_arr, size_rt):
+            s_np = np.asarray(shape_arr)[i0]
+            base = np.maximum(sh.size[s_np].astype(np.float32), 1e-6)
+            return size_rt[:, i0] / base  # (N, P, 3)
+
+        def hull_world_verts(i0, shape_arr, p_, q_, size_rt):
+            """World positions of side's hull verts: (N, P, V, 3)."""
+            hid = sh.hull_id[np.asarray(shape_arr)[i0]]
+            hv = self.hull_verts[hid]  # (P, V, 3)
+            sig = scale_of(i0, shape_arr, size_rt)  # (N, P, 3)
+            v_loc = hv * sig[..., None, :]
+            return p_[:, i0, None, :] + quat_rotate(q_[:, i0, None, :], v_loc)
+
+        def point_in_hull(i0, shape_arr, p_, q_, size_rt, x_world):
+            """Signed distance + outward world normal of points vs a hull.
+
+            x_world: (N, P, K, 3). Returns (sd (N,P,K), n_out (N,P,K,3))."""
+            hid = sh.hull_id[np.asarray(shape_arr)[i0]]
+            planes = self.hull_planes[hid]  # (P, F, 4)
+            sig = scale_of(i0, shape_arr, size_rt)  # (N, P, 3)
+            sig_u = jnp.mean(sig, axis=-1)  # uniform-scale approx
+            rel = quat_rotate(
+                _qconj(q_[:, i0, None, :]), x_world - p_[:, i0, None, :]
+            ) / jnp.clip(sig[..., None, :], 1e-6)
+            s_f = (
+                jnp.einsum("npkj,pfj->npkf", rel, planes[..., :3])
+                + planes[None, :, None, :, 3]
+            )
+            sd = jnp.max(s_f, axis=-1) * sig_u[..., None]
+            fidx = jnp.argmax(s_f, axis=-1)  # (N, P, K)
+            pn = jnp.broadcast_to(
+                planes[None, :, None, :, :3], s_f.shape + (3,)
+            )
+            n_loc = jnp.take_along_axis(
+                pn, jnp.broadcast_to(fidx[..., None, None], fidx.shape + (1, 3)),
+                axis=-2,
+            )[..., 0, :]
+            return sd, quat_rotate(q_[:, i0, None, :], n_loc)
+
+        def top4(i0, pts, nrms, deps):
+            """Scatter the 4 deepest candidates into rows i0..i0+3."""
+            nonlocal point, normal, depth
+            vals, ti = jax.lax.top_k(deps, M4)  # (N, P, 4)
+            gi = jnp.broadcast_to(ti[..., None], ti.shape + (3,))
+            pts4 = jnp.take_along_axis(pts, gi, axis=-2)
+            nrm4 = jnp.take_along_axis(nrms, gi, axis=-2)
+            for s in range(M4):
+                point = point.at[:, i0 + s].set(pts4[:, :, s])
+                normal = normal.at[:, i0 + s].set(nrm4[:, :, s])
+                depth = depth.at[:, i0 + s].set(vals[:, :, s])
+
+        # hull verts vs ground plane / heightfield
+        i0 = rows0(K_HULL_PLANE)
+        if len(i0):
+            w = hull_world_verts(i0, job.shape_a, pa, qa, size_a)
+            d, n = ground_sdf(w)
+            top4(i0, w, n, -d)
+
+        # hull(a) verts in box(b): sphere-box with r=0 (speculative outside)
+        i0 = rows0(K_HULLV_BOX)
+        if len(i0):
+            w = hull_world_verts(i0, job.shape_a, pa, qa, size_a)
+            szb = size_b[:, i0, None, :]
+            rel = quat_rotate(_qconj(qb[:, i0, None, :]), w - pb[:, i0, None, :])
+            clamped = jnp.clip(rel, -szb, szb)
+            inside = jnp.all(jnp.abs(rel) <= szb, axis=-1)
+            pen_ax = szb - jnp.abs(rel)
+            ax = jnp.argmin(pen_ax, axis=-1)
+            sgn = jnp.sign(jnp.take_along_axis(rel, ax[..., None], -1))[..., 0]
+            surf = jnp.where(
+                inside[..., None],
+                _scatter_axis(
+                    clamped, ax,
+                    sgn * jnp.take_along_axis(szb + 0.0 * rel, ax[..., None], -1)[..., 0],
+                ),
+                clamped,
+            )
+            cp_w = pb[:, i0, None, :] + quat_rotate(qb[:, i0, None, :], surf)
+            dvec = w - cp_w
+            dist = jnp.linalg.norm(dvec, axis=-1).clip(1e-9)
+            n = jnp.where(
+                inside[..., None],
+                quat_rotate(qb[:, i0, None, :], _axis_vec(ax, sgn)),
+                dvec / dist[..., None],
+            )
+            dep = jnp.where(inside, dist, -dist)
+            top4(i0, w, n, dep)
+
+        # box(b) corners in hull(a)
+        i0 = rows0(K_BOXV_HULL)
+        if len(i0):
+            corn = jnp.asarray(_BOX_CORNERS)  # (8, 3)
+            cw = pb[:, i0, None, :] + quat_rotate(
+                qb[:, i0, None, :], corn * size_b[:, i0, None, :]
+            )  # (N, P, 8, 3)
+            sd, n_out = point_in_hull(i0, job.shape_a, pa, qa, size_a, cw)
+            top4(i0, cw, -n_out, -sd)
+
+        # hull(a) verts in hull(b) and the reverse
+        i0 = rows0(K_HULLV_HULL)
+        if len(i0):
+            w = hull_world_verts(i0, job.shape_a, pa, qa, size_a)
+            sd, n_out = point_in_hull(i0, job.shape_b, pb, qb, size_b, w)
+            top4(i0, w, n_out, -sd)
+        i0 = rows0(K_HULLV_HULL_R)
+        if len(i0):
+            w = hull_world_verts(i0, job.shape_b, pb, qb, size_b)
+            sd, n_out = point_in_hull(i0, job.shape_a, pa, qa, size_a, w)
+            top4(i0, w, -n_out, -sd)
+
+        # sphere(a) vs hull(b)
+        i0 = rows0(K_SPH_HULL)
+        if len(i0):
+            c = pa[:, i0, None, :]
+            sd, n_out = point_in_hull(i0, job.shape_b, pb, qb, size_b, c)
+            r = size_a[:, i0, 0]
+            n1 = n_out[:, :, 0]
+            pt = c[:, :, 0] - n1 * r[..., None]
+            point = point.at[:, i0].set(pt)
+            normal = normal.at[:, i0].set(n1)
+            depth = depth.at[:, i0].set(r - sd[:, :, 0])
+
+        # capsule(a) endpoint spheres vs hull(b)
+        for s in range(2):
+            i0 = rows0(K_CAP_HULL)
+            i0 = i0 + s if len(i0) else i0
+            if len(i0):
+                sign = 1.0 if s == 0 else -1.0
+                hl = size_a[:, i0, 1]
+                r = size_a[:, i0, 0]
+                endp = pa[:, i0] + zdir[:, i0] * (hl * sign)[..., None]
+                sd, n_out = point_in_hull(
+                    i0, job.shape_b, pb, qb, size_b, endp[:, :, None, :]
+                )
+                n1 = n_out[:, :, 0]
+                point = point.at[:, i0].set(endp - n1 * r[..., None])
+                normal = normal.at[:, i0].set(n1)
+                depth = depth.at[:, i0].set(r - sd[:, :, 0])
+
+        return point, normal, depth
 
     # ------------------------------------------------------------------
     def solve(
@@ -494,6 +721,32 @@ class ContactSolver:
         )
         rest = 0.5 * (re_a + re_b)
 
+        # --- mass-splitting Jacobi scale: each responding body's inverse
+        # mass is divided by its ACTIVE contact count, which makes the
+        # fully-parallel Jacobi iteration convergent no matter how many
+        # contacts share a body (a cube pinched by two finger pads on a
+        # table has ~30 coupled contacts; plain relaxed Jacobi diverges and
+        # launches it). Articulation sides split per actor copy since the
+        # impulse spreads through the whole joint chain. ---
+        af = active.astype(body_pos.dtype)
+        cnt = jnp.zeros((N, B_env), body_pos.dtype)
+        free_or_link_a = jnp.asarray(job.a.type != T_STATIC)
+        free_or_link_b = jnp.asarray((job.b.type != T_STATIC) & (job.shape_b >= 0))
+        cnt = cnt.at[:, jnp.asarray(job.a.body)].add(af * free_or_link_a)
+        cnt = cnt.at[:, jnp.asarray(job.b.body)].add(af * free_or_link_b)
+        cnt = jnp.clip(cnt, 1.0)
+
+        def side_split(side: _Side):
+            """Per-contact mass-split factor 1/s for this side. Link sides
+            split by their own LINK BODY's count: splitting by the whole
+            articulation's count would dilute each constraint's progress to
+            s_body/s_copy per sweep and let force-limited drives tunnel
+            through contacts before the solve converges."""
+            return 1.0 / cnt[:, side.body]
+
+        split_a = side_split(job.a)
+        split_b = side_split(job.b)
+
         # --- per-side response data ---
         have_free = free_m is not None
         if have_free:
@@ -518,6 +771,10 @@ class ContactSolver:
             r = point - free_com_w[:, fi]
             return im, iI, r, fi, mask
 
+        # TRUE inverse masses drive the per-contact effective mass; the
+        # APPLICATION divides by the body's active contact count (mass
+        # splitting): each contact then contributes 1/s of its correction,
+        # so the Jacobi aggregate per body is bounded by relax * dv_needed
         im_a, iI_a, r_a_f, fia, mask_fa = free_side(job.a)
         im_b, iI_b, r_b_f, fib, mask_fb = free_side(job.b)
 
@@ -534,7 +791,7 @@ class ContactSolver:
             Ainv = art_Ainv[g_id]  # (N, K, nv, nv)
             g = self.scene.art_groups[g_id]
 
-            def ops(idx, side: _Side):
+            def ops(idx, side: _Side, split):
                 if len(idx) == 0:
                     return None
                 cp = side.copy[idx]
@@ -544,12 +801,14 @@ class ContactSolver:
                 link_body = side.body[idx]
                 r = point[:, idx] - body_pos[:, link_body]
                 Jp = Jl[..., 0:3, :] - skew(r) @ Jl[..., 3:6, :]  # (N, Cg, 3, nv)
-                W = Ainv[:, cp] @ jnp.swapaxes(Jp, -1, -2)  # (N, Cg, nv, 3)
-                K3 = Jp @ W
+                W0 = Ainv[:, cp] @ jnp.swapaxes(Jp, -1, -2)  # (N, Cg, nv, 3)
+                K3 = Jp @ W0  # TRUE response for the effective mass
+                # mass-splitting applies only to the impulse application
+                W = W0 * split[:, idx][..., None, None]
                 return idx, Jp, W, cp, K3
 
-            oa = ops(ia, job.a)
-            ob = ops(ib, job.b)
+            oa = ops(ia, job.a, split_a)
+            ob = ops(ib, job.b, split_b)
             if oa is not None:
                 K3_a = K3_a.at[:, oa[0]].set(oa[4])
             if ob is not None:
@@ -584,7 +843,11 @@ class ContactSolver:
 
         px = self.scene.sim_params.physx
         beta = 0.2
-        slop = px.rest_offset + 5e-4
+        # penetration allowance: bodies may sink this far before the
+        # Baumgarte bias pushes back (PhysX-like compliance — force-limited
+        # gripper squeezes need fingers to sit ~1mm inside the cube so
+        # gripper_sep drops below the object width, franka_cube_ik_osc.py:365)
+        slop = px.rest_offset + 1.5e-3
         h_inv = 1.0 / h
         bias = beta * h_inv * jnp.clip(depth - slop, 0.0, None)
 
@@ -613,25 +876,35 @@ class ContactSolver:
 
         vn0 = jnp.einsum("nck,nck->nc", rel_vel(free_v, free_w, art_qd), normal)
         bounce = jnp.where(vn0 < -px.bounce_threshold_velocity, -rest * vn0, 0.0)
-        # speculative contact: a SEPARATED pair inside contact_offset may
-        # still approach by gap/h this step (vn >= depth/h); only actual
-        # penetration gets the positive Baumgarte/restitution target —
-        # otherwise approaching fingers stall contact_offset away from the
-        # cube and grasps never close
-        target_vn = jnp.where(depth > 0.0, jnp.maximum(bias, bounce), depth * h_inv)
+        # speculative contact: a pair shallower than the slop depth may still
+        # approach by (depth-slop)/h this step; only depth > slop gets the
+        # positive Baumgarte/restitution target — otherwise approaching
+        # fingers stall contact_offset away from the cube and never grasp
+        target_vn = jnp.where(
+            depth > slop, jnp.maximum(bias, bounce), (depth - slop) * h_inv
+        )
 
-        relax = 0.8 if C <= 16 else 0.35
+        # mass splitting bounds the per-body aggregate correction at
+        # relax * dv_needed; 0.8 leaves margin for the nonlinear
+        # friction-direction coupling
+        relax = 0.8
         iters = max(6, 2 * px.num_position_iterations) + px.num_velocity_iterations
 
         lam_n = jnp.zeros((N, C), body_pos.dtype)
+        lam_t = jnp.zeros((N, C, 3), body_pos.dtype)
 
         def apply_impulse(v_, w_, qd_, imp):
-            """imp (N, C, 3) acts +imp on side a, -imp on side b."""
+            """imp (N, C, 3) acts +imp on side a, -imp on side b
+            (each body receives its mass-split 1/s share)."""
             if have_free:
-                dv_a = jnp.where(mask_fa[None, :, None], imp * im_a[..., None], 0.0)
-                dw_a = jnp.einsum("ncij,ncj->nci", iI_a, jnp.cross(r_a_f, imp))
-                dv_b = jnp.where(mask_fb[None, :, None], -imp * im_b[..., None], 0.0)
-                dw_b = jnp.einsum("ncij,ncj->nci", iI_b, jnp.cross(r_b_f, -imp))
+                im_as = im_a * split_a
+                im_bs = im_b * split_b
+                iI_as = iI_a * split_a[..., None, None]
+                iI_bs = iI_b * split_b[..., None, None]
+                dv_a = jnp.where(mask_fa[None, :, None], imp * im_as[..., None], 0.0)
+                dw_a = jnp.einsum("ncij,ncj->nci", iI_as, jnp.cross(r_a_f, imp))
+                dv_b = jnp.where(mask_fb[None, :, None], -imp * im_bs[..., None], 0.0)
+                dw_b = jnp.einsum("ncij,ncj->nci", iI_bs, jnp.cross(r_b_f, -imp))
                 v_ = v_.at[:, fia].add(dv_a)
                 w_ = w_.at[:, fia].add(jnp.where(mask_fa[None, :, None], dw_a, 0.0))
                 v_ = v_.at[:, fib].add(dv_b)
@@ -652,7 +925,7 @@ class ContactSolver:
             return v_, w_, tuple(qd_)
 
         def iter_body(carry, _):
-            v_, w_, qd_, lam = carry
+            v_, w_, qd_, lam, lamt = carry
             vr = rel_vel(v_, w_, qd_)
             vn = jnp.einsum("nck,nck->nc", vr, normal)
             dlam = relax * k_n * (target_vn - vn)
@@ -660,20 +933,26 @@ class ContactSolver:
             dlam = jnp.where(active, new_lam - lam, 0.0)
             imp = dlam[..., None] * normal
 
-            # friction: project tangential velocity, clamp by mu*lam
+            # friction: ACCUMULATED tangential impulse projected onto the
+            # Coulomb cone |lam_t| <= mu*lam_n — true sticking contact (a
+            # pinched object does not creep under sustained load, which the
+            # per-iteration clamp could never guarantee)
             vt = vr - vn[..., None] * normal
             vt_norm = jnp.linalg.norm(vt, axis=-1).clip(1e-9)
             t_dir = vt / vt_norm[..., None]
             k_t = eff_mass(t_dir)
-            dlam_t = jnp.clip(relax * k_t * vt_norm, 0.0, mu * new_lam)
-            imp = imp - jnp.where(active, dlam_t, 0.0)[..., None] * t_dir
+            lamt_raw = lamt - (relax * k_t * vt_norm)[..., None] * t_dir
+            cap = mu * new_lam
+            tnorm = jnp.linalg.norm(lamt_raw, axis=-1).clip(1e-9)
+            new_lamt = lamt_raw * jnp.minimum(1.0, cap / tnorm)[..., None]
+            imp = imp + jnp.where(active[..., None], new_lamt - lamt, 0.0)
 
             v_, w_, qd_ = apply_impulse(v_, w_, qd_, imp)
-            return (v_, w_, qd_, new_lam), None
+            return (v_, w_, qd_, new_lam, new_lamt), None
 
-        (free_v, free_w, art_qd, lam_n), _ = jax.lax.scan(
+        (free_v, free_w, art_qd, lam_n, lam_t), _ = jax.lax.scan(
             iter_body,
-            (free_v, free_w, tuple(art_qd), lam_n),
+            (free_v, free_w, tuple(art_qd), lam_n, lam_t),
             None,
             length=iters,
         )
@@ -688,6 +967,28 @@ class ContactSolver:
             jnp.where(has_b[None, :, None], -f_c, 0.0)
         )
         return free_v, free_w, list(art_qd), cf
+
+
+def _hull_planes(verts: np.ndarray) -> np.ndarray:
+    """Outward face planes [n, d] (n.x + d <= 0 inside) of a convex vertex
+    set. Falls back to the 6 AABB planes if qhull rejects the input
+    (degenerate/flat hulls)."""
+    try:
+        from scipy.spatial import ConvexHull
+
+        eq = ConvexHull(np.asarray(verts, np.float64)).equations
+        # dedupe near-identical faces to keep Fmax small
+        eq = np.unique(np.round(eq, 6), axis=0)
+        return eq.astype(np.float32)
+    except Exception:
+        lo, hi = verts.min(0), verts.max(0)
+        eq = []
+        for k in range(3):
+            n = np.zeros(3)
+            n[k] = 1.0
+            eq.append(np.concatenate([n, [-hi[k]]]))
+            eq.append(np.concatenate([-n, [lo[k]]]))
+        return np.asarray(eq, np.float32)
 
 
 def _pair_allowed(scene, si, sj):
@@ -780,7 +1081,9 @@ def _box_box_edge(pa, qa, size_a, pb, qb, size_b):
             eb = Rb[..., :, j]
             axis = jnp.cross(ea, eb)
             ln = jnp.linalg.norm(axis, axis=-1)
-            ok = ln > 1e-6
+            # near-parallel edges give garbage directions when normalized;
+            # their contacts are face-like and owned by the vertex manifold
+            ok = ln > 5e-2
             axis_n = axis / jnp.clip(ln, 1e-9)[..., None]
             # project both boxes
             ra = sum(
@@ -834,7 +1137,8 @@ def _box_box_edge(pa, qa, size_a, pb, qb, size_b):
     # fire only when the boxes genuinely overlap (every SAT axis overlaps)
     # AND an edge axis is the minimum-penetration one
     overlap = jnp.maximum(best_sep, face_sep) < 0
-    use_edge = best_sep >= face_sep
+    # ties go to the vertex manifold (stability under sliding face contact)
+    use_edge = best_sep > face_sep + 1e-4
     depth = jnp.where(overlap & use_edge, -best_sep, -1.0)
     return point, best_axis, depth
 
