@@ -253,6 +253,7 @@ class Sim:
         }
         self.textures: List[np.ndarray] = []
         self._shape_color: Optional[np.ndarray] = None  # (N, S, 3)
+        self._pending_colors: list = []  # (env_idx, slot, body, rgb) pre-build
         self._render_tables = None
         self._oneshot_force = False
         self._oneshot_effort = False
@@ -295,6 +296,11 @@ class Sim:
         self._shape_color = np.tile(
             self._render_tables.color[None], (scene.num_envs, 1, 1)
         ).astype(np.float32)
+        for e, slot, body, color in self._pending_colors:
+            m = scene.actors[slot]
+            mask = scene.shapes.body_slot == (m.body_start + body)
+            self._shape_color[e, mask] = color
+        self._pending_colors = []
 
     # -- override writers (device param updates) ------------------------------
     def _meta(self, slot: int):
@@ -1676,7 +1682,13 @@ class Gym:
         pass
 
     def set_rigid_body_color(self, env: Env, actor: int, body: int, mesh: int, color: Vec3):
-        env.sim._ensure_built()
+        # callable during scene creation (the reference sets colors inline,
+        # 1080_balls_of_solitude.py:138): defer until the scene is built
+        if env.sim.sim is None:
+            env.sim._pending_colors.append(
+                (env.idx, actor, body, [color.x, color.y, color.z])
+            )
+            return
         m = env.sim._meta(actor)
         sh = env.sim.sim.scene.shapes
         mask = sh.body_slot == (m.body_start + body)

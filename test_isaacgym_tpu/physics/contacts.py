@@ -444,27 +444,79 @@ class ContactSolver:
         dep_cb = r_a - dist_cb
         pt_cb = cp_cb
 
-        # box-box: vertices of a in b (slots 0-7) and b in a (slots 8-15)
-        bb_sign = self.job.slot < 8
+        # box-box: PAIR-LEVEL face SAT picks the minimum-penetration face
+        # axis, then the incident box's vertices build the manifold against
+        # that face. (Per-vertex min-pen axes break exactly-aligned stacks:
+        # corners lie ON the lateral faces with pen=0 and boxes fall through
+        # — /root/reference/examples/large_mass_ratio.py stacks.)
+        from ..math.quat import quat_to_matrix as _q2m
+
+        Ra_bb = _q2m(qa)  # (N, C, 3, 3) columns = box axes
+        Rb_bb = _q2m(qb)
+        d_ab = pb - pa
+        big = jnp.asarray(1e9, pa.dtype)
+
+        def face_sat(R_ref):
+            """Best (max-separation) face axis among one box's 3 axes."""
+            bs = jnp.full(pa.shape[:-1], -big)
+            bn = jnp.zeros_like(pa)
+            bk = jnp.zeros(pa.shape[:-1], jnp.int32)
+            for k in range(3):
+                ax = R_ref[..., :, k]
+                proj_a = sum(
+                    jnp.abs(jnp.einsum("...k,...k->...", ax, Ra_bb[..., :, q]))
+                    * size_a[..., q]
+                    for q in range(3)
+                )
+                proj_b = sum(
+                    jnp.abs(jnp.einsum("...k,...k->...", ax, Rb_bb[..., :, q]))
+                    * size_b[..., q]
+                    for q in range(3)
+                )
+                dist = jnp.einsum("...k,...k->...", ax, d_ab)
+                sep = jnp.abs(dist) - (proj_a + proj_b)
+                better = sep > bs
+                bs = jnp.where(better, sep, bs)
+                # d_ab points a -> b; flip to get the b -> a direction
+                n_dir = ax * jnp.where(dist > 0, -1.0, 1.0)[..., None]
+                bn = jnp.where(better[..., None], n_dir, bn)
+                bk = jnp.where(better, k, bk)
+            return bs, bn, bk
+
+        sep_fa, n_fa, k_fa = face_sat(Ra_bb)  # a's faces (verts of b incident)
+        sep_fb, n_fb, k_fb = face_sat(Rb_bb)  # b's faces (verts of a incident)
+        face_best = jnp.maximum(sep_fa, sep_fb)
+
+        bb_sign = self.job.slot < 8  # slots 0-7: verts of a; 8-15: verts of b
         corn_idx = np.where(self.job.slot < 8, self.job.slot, self.job.slot - 8)
         corn = jnp.asarray(_BOX_CORNERS)[corn_idx]
         va_w = pa + quat_rotate(qa, corn * size_a)
         vb_w = pb + quat_rotate(qb, corn * size_b)
-        vtx_w = jnp.where(jnp.asarray(bb_sign)[None, :, None], va_w, vb_w)
-        ref_p = jnp.where(jnp.asarray(bb_sign)[None, :, None], pb, pa)
-        ref_q = jnp.where(jnp.asarray(bb_sign)[None, :, None], qb, qa)
-        ref_size = jnp.where(jnp.asarray(bb_sign)[None, :, None], size_b, size_a)
+        is_av = jnp.asarray(bb_sign)[None, :]
+        vtx_w = jnp.where(is_av[..., None], va_w, vb_w)
+        # reference box = the OTHER box (whose face the vertex hits)
+        ref_p = jnp.where(is_av[..., None], pb, pa)
+        ref_q = jnp.where(is_av[..., None], qb, qa)
+        ref_size = jnp.where(is_av[..., None], size_b, size_a)
+        ref_k = jnp.where(is_av, k_fb, k_fa)
+        ref_n = jnp.where(is_av[..., None], n_fb, n_fa)
+        ref_sep = jnp.where(is_av, sep_fb, sep_fa)
+        # a vertex set is incident when ITS reference face axis ties for the
+        # overall minimum-penetration face (both sets fire for aligned
+        # equal-size faces; lateral containment picks the real ones — a
+        # small box on a wide platform keeps its own corners, not the
+        # platform's)
+        incident = ref_sep >= face_best - 1e-5
         rel_bb = quat_rotate(_qconj(ref_q), vtx_w - ref_p)
-        pen_bb = ref_size - jnp.abs(rel_bb)
-        inside_bb = jnp.all(pen_bb > 0, axis=-1)
-        ax_bb = jnp.argmin(pen_bb, axis=-1)
-        sgn_bb = jnp.sign(jnp.take_along_axis(rel_bb, ax_bb[..., None], -1))[..., 0]
-        n_local = _axis_vec(ax_bb, sgn_bb)
-        n_bb_raw = quat_rotate(ref_q, n_local)
-        n_bb = jnp.where(jnp.asarray(bb_sign)[None, :, None], n_bb_raw, -n_bb_raw)
-        dep_bb = jnp.where(
-            inside_bb, jnp.take_along_axis(pen_bb, ax_bb[..., None], -1)[..., 0], -1.0
-        )
+        pen_ax_bb = ref_size - jnp.abs(rel_bb)  # (N, C, 3)
+        dep_face = jnp.take_along_axis(pen_ax_bb, ref_k[..., None], -1)[..., 0]
+        # lateral containment within the face rectangle (+offset margin):
+        # the two non-face axes must also be within the box's extent
+        off = self.scene.sim_params.physx.contact_offset
+        n_within = jnp.sum((pen_ax_bb > -off).astype(jnp.int32), axis=-1)
+        lat_ok = (n_within - (dep_face > -off).astype(jnp.int32)) >= 2
+        dep_bb = jnp.where(incident & lat_ok, dep_face, -1.0)
+        n_bb = ref_n
         pt_bb = vtx_w
 
         # box-box deepest edge-edge pair (SAT over the 9 cross axes)
@@ -676,6 +728,7 @@ class ContactSolver:
         art_Ainv,
         params,
         h,
+        warm=None,
     ):
         """Velocity-level contact solve over free bodies and articulations.
 
@@ -687,13 +740,16 @@ class ContactSolver:
         art_jac: list per group of (N, K, Ls, 6, nv) link jacobians (rows
             [lin; ang] of link origins) or None if group has no contacts.
         art_Ainv: list per group of (N, K, nv, nv) inverse implicit operators.
-        Returns (free_v, free_w, art_qd, contact_force (N, B, 3)).
+        warm: optional (lam_n (N, C), lam_t (N, C, 3)) impulses from the
+        previous step, applied up-front and refined (warm starting).
+        Returns (free_v, free_w, art_qd, contact_force (N, B, 3),
+        (lam_n, lam_t)).
         """
         N = body_pos.shape[0]
         B_env = self.scene.num_bodies_per_env
         zero_cf = jnp.zeros((N, B_env, 3), body_pos.dtype)
         if not self.enabled:
-            return free_v, free_w, art_qd, zero_cf
+            return free_v, free_w, art_qd, zero_cf, None
 
         job = self.job
         C = self.num_contacts
@@ -924,6 +980,18 @@ class ContactSolver:
                     qd_[g_id] = qd_[g_id].at[:, cp].add(dqd)
             return v_, w_, tuple(qd_)
 
+        if warm is not None and warm[0] is not None:
+            # warm start: re-apply the previous step's impulses on
+            # still-active contacts up front, then refine the deltas —
+            # force chains (heavy stacks) keep converging across steps
+            # instead of being rebuilt from zero every substep
+            lam_n = jnp.where(active, warm[0], 0.0)
+            lam_t = jnp.where(active[..., None], warm[1], 0.0)
+            warm_imp = lam_n[..., None] * normal + lam_t
+            free_v, free_w, art_qd = apply_impulse(
+                free_v, free_w, tuple(art_qd), warm_imp
+            )
+
         def iter_body(carry, _):
             v_, w_, qd_, lam, lamt = carry
             vr = rel_vel(v_, w_, qd_)
@@ -966,7 +1034,7 @@ class ContactSolver:
         cf = cf.at[:, jnp.asarray(job.b.body)].add(
             jnp.where(has_b[None, :, None], -f_c, 0.0)
         )
-        return free_v, free_w, list(art_qd), cf
+        return free_v, free_w, list(art_qd), cf, (lam_n, lam_t)
 
 
 def _hull_planes(verts: np.ndarray) -> np.ndarray:

@@ -134,8 +134,11 @@ class Stepper:
         # substep reuses it instead of re-running FK — with the final
         # refresh, 2 link sweeps per step instead of substeps+1.
         first = True
+        warm = None
         for _ in range(self.substeps):
-            state = self._substep(state, actions, params, reuse_body_state=first)
+            state, warm = self._substep(
+                state, actions, params, reuse_body_state=first, warm=warm
+            )
             first = False
         state = self.refresh_body_state(state, params)
         return state._replace(
@@ -160,8 +163,10 @@ class Stepper:
         actions: Actions,
         params: PhysParams,
         reuse_body_state: bool = False,
-    ) -> SimState:
+        warm=None,
+    ):
         h = self.h
+        warm_out = warm
         g_vec = params.gravity
 
         new_root_pos = state.root_pos
@@ -428,7 +433,7 @@ class Stepper:
             qd_fulls = [gd["qd_full"] for gd in group_data]
             fv = free_data["v"] if free_data else None
             fw = free_data["w"] if free_data else None
-            fv, fw, qd_fulls, cf_body = self.contact.solve(
+            fv, fw, qd_fulls, cf_body, warm_out = self.contact.solve(
                 cur_bp,
                 cur_bq,
                 (state.body_linvel, state.body_angvel),
@@ -442,6 +447,7 @@ class Stepper:
                 art_Ainv,
                 params,
                 h,
+                warm=warm,
             )
             state = state._replace(contact_force=cf_body)
             for gd, qd_full in zip(group_data, qd_fulls):
@@ -501,7 +507,7 @@ class Stepper:
             root_angvel=new_root_angvel,
             dof_pos=new_dof_pos,
             dof_vel=new_dof_vel,
-        )
+        ), warm_out
 
     # ------------------------------------------------------------------
     def refresh_body_state(self, state: SimState, params: PhysParams) -> SimState:
