@@ -4,13 +4,34 @@ Counterpart of /root/reference/examples/1080_balls_of_solitude.py: pyramids
 of balls per env; `--no-collide` puts every env in the same group with a
 shared filter bit so balls pass through each other; KEY_R (injected) restores
 the initial snapshot.
+
+`--all-collisions 1` reproduces the reference's cross-env mode (everything
+in collision group 0, :117-123) the TPU way: the 36 pyramids x 30 balls =
+1080 balls share ONE batched world slice, which routes their contacts
+through the dense sphere-world path (ops/sphere_world.py).
 """
 import numpy as np
 
 from _common import check, example_args
 from test_isaacgym_tpu import gymapi, gymtorch
 
-args = example_args("balls of solitude", steps=180, num_envs=4)
+args = example_args("balls of solitude", steps=180, num_envs=4, all_collisions=0)
+
+if args.all_collisions:
+    from test_isaacgym_tpu.envs.balls import BallsEnv
+    import jax
+
+    env = BallsEnv(num_worlds=1, pyramids=36)
+    print(f"single world: {env.balls_per_world} balls, "
+          f"static contact rows: {env.sim.stepper.contact.num_contacts}")
+    for _ in range(args.steps):
+        env.sim.step()
+    jax.block_until_ready(env.sim.state.root_pos)
+    z = np.asarray(env.sim.state.root_pos[0, :, 2])
+    check(float(z.min()) > 0.15, f"no ball sank (zmin={z.min():.3f})")
+    check(float(z.max()) < 3.0, f"no explosion (zmax={z.max():.3f})")
+    import sys
+    sys.exit(0)
 
 gym = gymapi.acquire_gym()
 sim = gym.create_sim(0, 0, gymapi.SIM_PHYSX, gymapi.SimParams())

@@ -94,7 +94,10 @@ class AssetOptions:
     thickness: float = 0.0
     density: float = 1000.0
     linear_damping: float = 0.0
-    angular_damping: float = 0.0
+    # isaacgym's AssetOptions default (its docs/bindings): 0.5 — this is
+    # what brings free-rolling bodies to rest (ideal rolling has no slip
+    # for Coulomb friction to act on)
+    angular_damping: float = 0.5
     max_linear_velocity: float = 1000.0
     max_angular_velocity: float = 64.0
     enable_gyroscopic_forces: bool = True

@@ -139,6 +139,20 @@ class ContactSolver:
                 else:
                     dyn_shapes.append((s, e))
 
+        # --- dense sphere-world fast path (ops/sphere_world.py): large free
+        # sphere sets leave the static table entirely — their sphere-sphere
+        # (and, with a plane ground, sphere-ground) contacts are solved as
+        # dense (F, F) tiles, Pallas-fused on TPU ---
+        from ..ops import sphere_world as _sw
+
+        self.sphere_world = _sw.build_spec(scene)
+        sw_shapes = (
+            set(self.sphere_world.shape_idx.tolist())
+            if self.sphere_world is not None
+            else set()
+        )
+        sw_ground = self.sphere_world.has_ground if self.sphere_world else False
+
         rows: List[tuple] = []  # (ea, eb, kind, sa, sb, slot)
         WORLD = _Entity(T_STATIC, 0, 0, 0, 0, 0)
 
@@ -154,6 +168,8 @@ class ContactSolver:
         # --- plane / heightfield contacts (all dynamic shapes) ---
         if scene.ground is not None or scene.heightfield is not None:
             for s, e in dyn_shapes:
+                if s in sw_shapes and sw_ground:
+                    continue  # sphere-world path owns this sphere's ground
                 k = eff_kind(s)
                 if k == SHAPE_SPHERE:
                     rows.append((e, WORLD, K_SPH_PLANE, s, -1, 0))
@@ -220,6 +236,8 @@ class ContactSolver:
                     and ei.copy == ej.copy
                 ):
                     continue
+                if si in sw_shapes and sj in sw_shapes:
+                    continue  # dense sphere-world path owns this pair
                 if _pair_allowed(scene, si, sj):
                     pairs.append((si, ei, sj, ej))
             for sj, ej in stat_shapes:
@@ -237,6 +255,13 @@ class ContactSolver:
                     rows.append((eei, eej, code, ssi, ssj, c))
 
         if not rows:
+            self.num_contacts = 0
+            self.enabled = self.sphere_world is not None
+            self.link_lists = [
+                (np.zeros(0, np.int32), np.zeros(0, np.int32))
+                for _ in scene.art_groups
+            ]
+            self.any_link = False
             return
         self.enabled = True
 
@@ -314,6 +339,45 @@ class ContactSolver:
                 planes.append(np.concatenate([eq, peq], 0))
             self.hull_verts = jnp.asarray(np.stack(verts), jnp.float32)
             self.hull_planes = jnp.asarray(np.stack(planes), jnp.float32)
+
+    # ------------------------------------------------------------------
+    def _solve_sphere_world(
+        self, body_pos, free_v, free_w, free_m, free_I_w, params, h, zero_cf
+    ):
+        """Dense all-pairs solve for the large free-sphere set (see
+        ops/sphere_world.py). Runs before the static-table solve; the two
+        share velocities sequentially."""
+        from ..ops import sphere_world as _sw
+
+        spec = self.sphere_world
+        fidx = jnp.asarray(spec.free_idx)
+        sidx = jnp.asarray(spec.shape_idx)
+        bidx = jnp.asarray(spec.body_slot)
+        pos = body_pos[:, bidx]
+        vel = free_v[:, fidx]
+        omega = free_w[:, fidx]
+        radius = params.shape_size[:, sidx, 0]
+        inv_m = 1.0 / free_m[:, fidx]
+        # spheres: world inertia is isotropic; 3/trace is exact there
+        tr = (
+            free_I_w[:, fidx, 0, 0]
+            + free_I_w[:, fidx, 1, 1]
+            + free_I_w[:, fidx, 2, 2]
+        )
+        inv_i = 3.0 / jnp.clip(tr, 1e-9)
+        mu = params.shape_friction[:, sidx]
+        rest = params.shape_restitution[:, sidx]
+        px = self.scene.sim_params.physx
+        iters = max(6, 2 * px.num_position_iterations) + px.num_velocity_iterations
+        slop = px.rest_offset + 1.5e-3
+        v1, w1, cf_s = _sw.solve(
+            spec, pos, vel, omega, radius, inv_m, inv_i, mu, rest,
+            h, iters, px.contact_offset, slop, px.bounce_threshold_velocity,
+        )
+        free_v = free_v.at[:, fidx].set(v1)
+        free_w = free_w.at[:, fidx].set(w1)
+        cf = zero_cf.at[:, bidx].add(cf_s)
+        return free_v, free_w, cf
 
     # ------------------------------------------------------------------
     def narrowphase(self, body_pos, body_quat, params):
@@ -751,6 +815,14 @@ class ContactSolver:
         if not self.enabled:
             return free_v, free_w, art_qd, zero_cf, None
 
+        cf_base = zero_cf
+        if self.sphere_world is not None and free_m is not None:
+            free_v, free_w, cf_base = self._solve_sphere_world(
+                body_pos, free_v, free_w, free_m, free_I_w, params, h, zero_cf
+            )
+        if self.num_contacts == 0:
+            return free_v, free_w, list(art_qd), cf_base, None
+
         job = self.job
         C = self.num_contacts
         if free_m is None:
@@ -1027,7 +1099,7 @@ class ContactSolver:
 
         # net contact force per ENV BODY (normal impulses / h), symmetric on
         # both sides (test12_add_joint.py.py:131 reads forces on links)
-        cf = jnp.zeros((N, B_env, 3), body_pos.dtype)
+        cf = cf_base
         f_c = jnp.where(active, lam_n, 0.0)[..., None] * normal * h_inv
         cf = cf.at[:, jnp.asarray(job.a.body)].add(f_c)
         has_b = jnp.asarray(np.asarray(job.shape_b) >= 0)
