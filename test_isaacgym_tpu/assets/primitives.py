@@ -38,3 +38,34 @@ def create_sphere(radius: float, density: float = 1000.0, **opts) -> AssetSpec:
 def create_capsule(radius: float, half_length: float, density: float = 1000.0, **opts) -> AssetSpec:
     g = GeomSpec(GEOM_CAPSULE, (radius, half_length))
     return _single_body_asset(f"capsule_{radius}_{half_length}", g, density, **opts)
+
+
+def create_mesh_asset(
+    name: str,
+    vertices: np.ndarray,
+    faces: np.ndarray,
+    density: float = 1000.0,
+    sdf=None,
+    n_samples: int = 256,
+    max_hull_verts: int = 64,
+    **opts,
+) -> AssetSpec:
+    """Single-body asset from a triangle mesh, optionally carrying a
+    prebuilt SDF grid (assets.sdf.SdfGrid) for SDF collision (SURVEY.md N9).
+    Surface probes are FPS-sampled from the FULL mesh before hulling, so
+    concave detail (thread flanks) stays collidable."""
+    from .mesh import convex_hull_vertices
+    from .sdf import farthest_point_sample
+    from .types import GEOM_MESH
+
+    vertices = np.asarray(vertices, np.float32)
+    center = (vertices.min(0) + vertices.max(0)) * 0.5
+    g = GeomSpec(
+        GEOM_MESH,
+        (),
+        vertices=convex_hull_vertices(vertices, max_hull_verts),
+        faces=np.asarray(faces, np.int32),
+        sdf=sdf,
+        sdf_samples=farthest_point_sample(vertices - center, n_samples),
+    )
+    return _single_body_asset(name, g, density, **opts)

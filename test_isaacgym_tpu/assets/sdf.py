@@ -1,0 +1,264 @@
+"""Signed-distance-field collision grids (SURVEY.md N9).
+
+The reference's nut-bolt threading runs on PhysX SDF collision — the URDFs
+carry an `<sdf resolution="512"/>` hint inside `<collision>` and the example
+notes "CPU sim not supported by SDF"
+(/root/reference/examples/franka_nut_bolt_ik_osc.py:215,
+/root/reference/assets/urdf/nut_bolt/bolt_m4_tight_SI.urdf).
+
+TPU-native design: an SDF is a dense (R, R, R) float32 voxel grid in the
+shape's AABB-centered local frame — a *static array constant* baked into the
+compiled step. Contact queries are pure gathers + trilinear interpolation
+(physics/contacts.py K_PT_SDF), which XLA fuses into the narrowphase; there
+is no tree traversal or host callback anywhere. Grids are built OFFLINE on
+the host (voxelize triangles -> binary fill -> Euclidean distance transform)
+and cached per mesh hash, mirroring the VHACD pipeline (assets/vhacd.py).
+
+All grids share one compile-time resolution R (anisotropic voxel spacing
+covers elongated parts), so every SDF in a scene stacks into a single
+(K, R, R, R) device array the contact kernel indexes with static ids.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Callable, NamedTuple, Optional
+
+import numpy as np
+
+# one shared grid resolution; `<sdf resolution="N">` requests are quantized
+# here so heterogeneous assets still stack into one device array. 128 puts
+# ~5 voxels across an M4 thread flank on a short bolt (anisotropic spacing
+# covers the aspect ratio), the scale the nut-bolt assets need.
+SDF_RES = 128
+
+_CACHE_DIR = os.path.join(os.path.dirname(__file__), "..", "..", ".sdf_cache")
+
+
+class SdfGrid(NamedTuple):
+    """data[ix, iy, iz] = signed distance (meters, + outside) at
+    origin + (ix, iy, iz) * spacing, in the mesh's AABB-centered frame."""
+
+    data: np.ndarray  # (R, R, R) float32
+    origin: np.ndarray  # (3,) float32
+    spacing: np.ndarray  # (3,) float32 per-axis voxel size
+
+
+def _grid_coords(lo: np.ndarray, hi: np.ndarray, res: int, pad: int):
+    """Voxel layout covering [lo, hi] plus `pad` voxels of margin."""
+    extent = np.maximum(hi - lo, 1e-6)
+    spacing = extent / (res - 1 - 2 * pad)
+    origin = lo - pad * spacing
+    return origin.astype(np.float32), spacing.astype(np.float32)
+
+
+def sdf_from_mesh(
+    vertices: np.ndarray,
+    faces: Optional[np.ndarray],
+    resolution: int = SDF_RES,
+    pad: int = 3,
+) -> SdfGrid:
+    """Voxel SDF of a closed triangle mesh, cached on disk by mesh hash.
+
+    Method: scatter surface samples into the voxel grid, flood the interior
+    (binary_fill_holes — through-holes like a nut's bore stay open), then
+    signed distance = EDT(outside) - EDT(inside). Accuracy ~= half a voxel,
+    absorbed by the solver's contact/rest offsets.
+    """
+    from scipy import ndimage
+
+    verts = np.asarray(vertices, np.float32)
+    center = (verts.min(0) + verts.max(0)) * 0.5
+    verts = verts - center  # AABB-centered local frame (matches scene shapes)
+
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    h = hashlib.sha1(np.ascontiguousarray(verts).tobytes())
+    if faces is not None:
+        h.update(np.ascontiguousarray(faces, np.int32).tobytes())
+    h.update(f"res={resolution}:pad={pad}:v2".encode())
+    cache = os.path.join(_CACHE_DIR, h.hexdigest() + ".npz")
+    if os.path.exists(cache):
+        z = np.load(cache)
+        return SdfGrid(z["data"], z["origin"], z["spacing"])
+
+    origin, spacing = _grid_coords(verts.min(0), verts.max(0), resolution, pad)
+
+    # --- surface samples: barycentric lattice per triangle, dense enough
+    # that no voxel the surface crosses is missed ---
+    if faces is None or len(faces) == 0:
+        pts = verts
+    else:
+        f = np.asarray(faces, np.int64).reshape(-1, 3)
+        a, b, c = verts[f[:, 0]], verts[f[:, 1]], verts[f[:, 2]]
+        emax = np.maximum(
+            np.linalg.norm(b - a, axis=1),
+            np.maximum(np.linalg.norm(c - b, axis=1), np.linalg.norm(a - c, axis=1)),
+        )
+        k = np.clip(np.ceil(emax / (spacing.min() * 0.5)).astype(int), 1, 24)
+        chunks = [verts]
+        for kk in np.unique(k):
+            sel = k == kk
+            # barycentric lattice (i + j <= kk)
+            ii, jj = np.meshgrid(np.arange(kk + 1), np.arange(kk + 1))
+            m = (ii + jj) <= kk
+            u = (ii[m] / kk).astype(np.float32)
+            v = (jj[m] / kk).astype(np.float32)
+            w = 1.0 - u - v
+            p = (
+                a[sel][:, None, :] * w[None, :, None]
+                + b[sel][:, None, :] * u[None, :, None]
+                + c[sel][:, None, :] * v[None, :, None]
+            )
+            chunks.append(p.reshape(-1, 3))
+        pts = np.concatenate(chunks, 0)
+
+    idx = np.round((pts - origin) / spacing).astype(np.int64)
+    idx = np.clip(idx, 0, resolution - 1)
+    surf = np.zeros((resolution,) * 3, bool)
+    surf[idx[:, 0], idx[:, 1], idx[:, 2]] = True
+
+    inside = ndimage.binary_fill_holes(surf)
+    d_out = ndimage.distance_transform_edt(~inside, sampling=spacing)
+    d_in = ndimage.distance_transform_edt(inside, sampling=spacing)
+    data = (d_out - d_in).astype(np.float32)
+
+    np.savez_compressed(cache, data=data, origin=origin, spacing=spacing)
+    return SdfGrid(data, origin.astype(np.float32), spacing)
+
+
+def sdf_from_fn(
+    fn: Callable[[np.ndarray], np.ndarray],
+    lo,
+    hi,
+    resolution: int = SDF_RES,
+    pad: int = 3,
+) -> SdfGrid:
+    """Exact analytic SDF sampled on the voxel grid. `fn` maps (M, 3) local
+    points (AABB-centered frame covering [lo, hi]) to signed distances."""
+    lo = np.asarray(lo, np.float32)
+    hi = np.asarray(hi, np.float32)
+    center = (lo + hi) * 0.5
+    origin, spacing = _grid_coords(lo - center, hi - center, resolution, pad)
+    ax = [origin[d] + spacing[d] * np.arange(resolution) for d in range(3)]
+    X, Y, Z = np.meshgrid(*ax, indexing="ij")
+    p = np.stack([X, Y, Z], -1).reshape(-1, 3).astype(np.float32)
+    data = np.asarray(fn(p), np.float32).reshape((resolution,) * 3)
+    return SdfGrid(data, origin, spacing)
+
+
+def farthest_point_sample(verts: np.ndarray, n: int) -> np.ndarray:
+    """Greedy FPS: n well-spread surface sample points (contact probes)."""
+    v = np.asarray(verts, np.float32)
+    if len(v) <= n:
+        reps = int(np.ceil(n / max(len(v), 1)))
+        return np.tile(v, (reps, 1))[:n]
+    out = np.empty((n, 3), np.float32)
+    out[0] = v[0]
+    d = np.linalg.norm(v - out[0], axis=1)
+    for i in range(1, n):
+        j = int(np.argmax(d))
+        out[i] = v[j]
+        d = np.minimum(d, np.linalg.norm(v - v[j], axis=1))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Procedural ISO metric bolt (the reference's bolt_m4_tight.obj is a stripped
+# large blob — .MISSING_LARGE_BLOBS — so the mating bolt is generated from
+# the thread parameters measured off nut_m4_tight.obj: right-hand thread,
+# phase u = z - pitch*theta/(2pi), internal minor r=1.62mm / major r=2.08mm).
+# ---------------------------------------------------------------------------
+
+
+class BoltSpec(NamedTuple):
+    major_r: float = 1.95e-3  # external thread crest radius (m)
+    minor_r: float = 1.50e-3  # external thread root radius
+    pitch: float = 0.7e-3  # right-hand, matches the nut
+    crest_phase: float = 0.125e-3  # u of the crest (mates the nut groove)
+    length: float = 8e-3  # threaded shank length (short M4x8: keeps the
+    #   grid's z-spacing fine enough for the thread profile)
+    head_r: float = 3.5e-3  # hex head circumradius
+    head_h: float = 2.8e-3  # head height (below z=0)
+    scale: float = 1.0  # 5.0 for the *_5x assets
+
+
+def bolt_sdf_fn(spec: BoltSpec):
+    """Analytic (approximate) SDF of a threaded bolt: shank axis = +z from
+    z=0 to z=length, head below z=0. Thread radius profile is the 60-deg
+    triangular ISO form in the helical phase coordinate."""
+    s = spec.scale
+    major, minor = spec.major_r * s, spec.minor_r * s
+    pitch = spec.pitch * s
+    crest = spec.crest_phase * s
+    length, head_r, head_h = spec.length * s, spec.head_r * s, spec.head_h * s
+    slope = (major - minor) / (0.25 * pitch)  # full depth over p/4 flank run
+
+    def fn(p: np.ndarray) -> np.ndarray:
+        # fn receives points in the AABB-centered frame; shift back so the
+        # shank base sits at z=0
+        zc = (length - head_h) * 0.5
+        x, y, z = p[:, 0], p[:, 1], p[:, 2] + zc
+        rho = np.hypot(x, y)
+        theta = np.arctan2(y, x)
+        u = np.mod(z - pitch * theta / (2 * np.pi) - crest, pitch)
+        du = np.minimum(u, pitch - u)  # distance to crest phase
+        r_thread = np.clip(major - slope * du, minor, major)
+        # radial distance to the thread surface; axial caps
+        d_side = rho - r_thread
+        d_cap = np.maximum(z - length, -z - head_h)
+        d_shank = np.maximum(d_side, np.maximum(z - length, -z))
+        # hex head as a cylinder (collision-equivalent here)
+        d_head = np.maximum(rho - head_r, np.maximum(z, -z - head_h))
+        return np.minimum(d_shank, d_head) if head_h > 0 else np.maximum(
+            d_side, d_cap
+        )
+
+    return fn
+
+
+def bolt_mesh(spec: BoltSpec, n_theta: int = 48, n_z: int = 160):
+    """Triangle mesh of the bolt's threaded surface (for rendering, hulls,
+    and sample points). Returns (verts (V,3), faces (F,3))."""
+    s = spec.scale
+    major, minor = spec.major_r * s, spec.minor_r * s
+    pitch = spec.pitch * s
+    crest = spec.crest_phase * s
+    length, head_r, head_h = spec.length * s, spec.head_r * s, spec.head_h * s
+    slope = (major - minor) / (0.25 * pitch)
+
+    th = np.linspace(0, 2 * np.pi, n_theta, endpoint=False)
+    zz = np.linspace(0, length, n_z)
+    T, Z = np.meshgrid(th, zz)
+    u = np.mod(Z - pitch * T / (2 * np.pi) - crest, pitch)
+    du = np.minimum(u, pitch - u)
+    R = np.clip(major - slope * du, minor, major)
+    X, Y = R * np.cos(T), R * np.sin(T)
+    verts = np.stack([X, Y, Z], -1).reshape(-1, 3)
+
+    def vid(i, j):
+        return i * n_theta + (j % n_theta)
+
+    faces = []
+    for i in range(n_z - 1):
+        for j in range(n_theta):
+            faces.append([vid(i, j), vid(i, j + 1), vid(i + 1, j)])
+            faces.append([vid(i, j + 1), vid(i + 1, j + 1), vid(i + 1, j)])
+    base = len(verts)
+    # head: simple cylinder below z=0
+    if head_h > 0:
+        ring_top = np.stack(
+            [head_r * np.cos(th), head_r * np.sin(th), np.zeros_like(th)], -1
+        )
+        ring_bot = ring_top.copy()
+        ring_bot[:, 2] = -head_h
+        verts = np.concatenate([verts, ring_top, ring_bot], 0)
+        for j in range(n_theta):
+            a0, a1 = base + j, base + (j + 1) % n_theta
+            b0, b1 = a0 + n_theta, a1 + n_theta
+            faces.append([a0, a1, b0])
+            faces.append([a1, b1, b0])
+    # shift to match the SDF's AABB-centered frame
+    zc = (length - head_h) * 0.5
+    verts = verts.astype(np.float32)
+    verts[:, 2] -= zc - (0 if head_h > 0 else 0)
+    return verts, np.asarray(faces, np.int32)

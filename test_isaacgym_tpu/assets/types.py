@@ -83,6 +83,14 @@ class GeomSpec:
     mesh_scale: Optional[Tuple[float, float, float]] = None
     vertices: Optional[np.ndarray] = None  # (V,3) for meshes (collision hull)
     faces: Optional[np.ndarray] = None
+    # SDF collision (SURVEY.md N9): `<sdf resolution="N"/>` in URDF collision
+    # requests a voxel SDF grid for this mesh; `sdf` carries a prebuilt
+    # (e.g. analytic) assets.sdf.SdfGrid directly
+    sdf_resolution: Optional[int] = None
+    sdf: Optional[object] = None
+    sdf_samples: Optional[np.ndarray] = None  # (P,3) surface contact probes
+    #   (full-mesh FPS, AABB-centered frame; meshes that contact an SDF
+    #   shape probe it with these points)
     color: Optional[Tuple[float, float, float]] = None
     friction: float = 1.0
     restitution: float = 0.0

@@ -195,6 +195,20 @@ def load_urdf(
             g = _parse_geometry(c, c.find("origin"), urdf_dir, asset_root, load_meshes)
             if g is not None:
                 if g.kind == GEOM_MESH and g.vertices is not None:
+                    sdf_el = c.find("sdf")
+                    if sdf_el is not None:
+                        # SDF collision request (nut-bolt URDFs carry
+                        # `<sdf resolution="512"/>` — SURVEY.md N9). Build
+                        # grid + surface sample probes from the FULL mesh
+                        # (concave thread detail) before convex hulling.
+                        from .sdf import farthest_point_sample, sdf_from_mesh
+
+                        g.sdf_resolution = int(sdf_el.get("resolution", 256))
+                        g.sdf = sdf_from_mesh(g.vertices, g.faces)
+                        center = (g.vertices.min(0) + g.vertices.max(0)) * 0.5
+                        g.sdf_samples = farthest_point_sample(
+                            g.vertices - center, 256
+                        )
                     g.vertices = convex_hull_vertices(g.vertices, max_hull_verts)
                 l.geoms.append(g)
         for v in el.findall("visual"):

@@ -35,6 +35,12 @@ class PhysXParams:
     friction_correlation_distance: float = 0.025
     bounce_threshold_velocity: float = 0.2
     max_depenetration_velocity: float = 100.0
+    # solver penetration allowance before the Baumgarte bias pushes back
+    # (added to rest_offset). The 1.5 mm default is the grasp-compliance
+    # tuning (force-limited fingers sink in ~1mm to squeeze,
+    # franka_cube_ik_osc.py:365); tight-tolerance scenes (SDF nut-bolt
+    # threads, feature size < 1mm) must set it well below the feature size.
+    contact_slop: float = 1.5e-3
 
 
 @dataclasses.dataclass

@@ -191,6 +191,8 @@ class ShapeSet:
     collision_filter: np.ndarray  # (S,) bitmask; shared-bit => no collision
     actor_slot: np.ndarray  # (S,)
     hull_id: np.ndarray = None  # (S,) index into Scene.hulls, -1 for primitives
+    sdf_id: np.ndarray = None  # (S,) index into Scene.sdfs, -1 = no SDF
+    sample_id: np.ndarray = None  # (S,) index into Scene.samples, -1 = none
 
     @property
     def count(self):
@@ -274,6 +276,10 @@ class Scene:
     heightfield: Optional[object] = None
     # convex hull vertex sets (local, centered) indexed by ShapeSet.hull_id
     hulls: List[np.ndarray] = dataclasses.field(default_factory=list)
+    # SDF voxel grids (assets.sdf.SdfGrid) indexed by ShapeSet.sdf_id
+    sdfs: List[object] = dataclasses.field(default_factory=list)
+    # surface sample probe sets (P,3) indexed by ShapeSet.sample_id
+    samples: List[np.ndarray] = dataclasses.field(default_factory=list)
     # attractor templates (env 0 layout; all envs homogeneous)
     attractors: List[AttractorMeta] = dataclasses.field(default_factory=list)
     # per-env attractor init values (N, T, .) used to seed Actions/PhysParams
@@ -589,15 +595,30 @@ class SceneBuilder:
         # --- shapes --------------------------------------------------------
         sh_body, sh_kind, sh_size, sh_pos, sh_quat = [], [], [], [], []
         sh_fric, sh_rest, sh_group, sh_filter, sh_slot = [], [], [], [], []
-        sh_hull = []
+        sh_hull, sh_sdf, sh_samp = [], [], []
         hulls: List[np.ndarray] = []
+        sdfs: List[object] = []
+        samples: List[np.ndarray] = []
         hull_of_geom: Dict[int, int] = {}  # id(GeomSpec) -> hull index (dedupe)
+        sdf_of_geom: Dict[int, int] = {}
+        samp_of_geom: Dict[int, int] = {}
         for slot, p in enumerate(protos):
             meta = actors[slot]
             for li, l in enumerate(p.asset.links):
                 for g in l.geoms:
                     sh_body.append(meta.body_start + li)
                     hull_id = -1
+                    sdf_id = samp_id = -1
+                    if g.kind == GEOM_MESH and getattr(g, "sdf", None) is not None:
+                        if id(g) not in sdf_of_geom:
+                            sdf_of_geom[id(g)] = len(sdfs)
+                            sdfs.append(g.sdf)
+                        sdf_id = sdf_of_geom[id(g)]
+                    if g.kind == GEOM_MESH and getattr(g, "sdf_samples", None) is not None:
+                        if id(g) not in samp_of_geom:
+                            samp_of_geom[id(g)] = len(samples)
+                            samples.append(np.asarray(g.sdf_samples, np.float32))
+                        samp_id = samp_of_geom[id(g)]
                     if g.kind == GEOM_SPHERE:
                         sh_kind.append(SHAPE_SPHERE)
                         sh_size.append((g.size[0], 0, 0))
@@ -637,6 +658,8 @@ class SceneBuilder:
                     else:
                         center = np.asarray(g.pos, dtype=np.float64)
                     sh_hull.append(hull_id)
+                    sh_sdf.append(sdf_id)
+                    sh_samp.append(samp_id)
                     sh_pos.append(center)
                     sh_quat.append(tuple(g.quat))
                     sh_fric.append(g.friction)
@@ -656,6 +679,8 @@ class SceneBuilder:
             collision_filter=np.array(sh_filter, dtype=np.int32) if sh_filter else np.zeros(0, np.int32),
             actor_slot=np.array(sh_slot, dtype=np.int32) if sh_slot else np.zeros(0, np.int32),
             hull_id=np.array(sh_hull, dtype=np.int32) if sh_hull else np.zeros(0, np.int32),
+            sdf_id=np.array(sh_sdf, dtype=np.int32) if sh_sdf else np.zeros(0, np.int32),
+            sample_id=np.array(sh_samp, dtype=np.int32) if sh_samp else np.zeros(0, np.int32),
         )
 
         # --- default body/dof params --------------------------------------
@@ -736,6 +761,8 @@ class SceneBuilder:
             angular_damping=ang_damp,
             heightfield=self.heightfield,
             hulls=hulls,
+            sdfs=sdfs,
+            samples=samples,
             attractors=attr_template,
             attractor_init=attr_init,
         )

@@ -1,0 +1,104 @@
+"""Nut-on-bolt threading via SDF collision (SURVEY.md N9).
+
+Counterpart of /root/reference/examples/franka_nut_bolt_ik_osc.py's physics
+core: the reference screws an M4 nut down a bolt using PhysX SDF contact
+("CPU sim not supported by SDF" :215, 32 position iterations :231, the
+`<sdf resolution>` hints in assets/urdf/nut_bolt/*.urdf). Here the nut is
+the reference's real nut_m4_tight OBJ (5x scale, like the example's *_5x
+assets :265-281); the bolt mesh+SDF are generated from the thread
+parameters measured off that nut, because the reference's bolt OBJ is a
+stripped large blob (.MISSING_LARGE_BLOBS).
+
+The env spins the nut about the bolt axis and the SDF thread contact turns
+rotation into descent at pitch/(2*pi) per radian — the same conversion the
+reference's ScrewFSM encodes explicitly (:41-203).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..assets import create_mesh_asset, load_urdf
+from ..assets.sdf import BoltSpec, bolt_mesh, bolt_sdf_fn, sdf_from_fn
+from ..core.config import PlaneParams, SimParams
+from ..core.scene import SceneBuilder
+from ..core.sim import Simulator
+from ..core.state import SimState
+
+
+@dataclasses.dataclass
+class NutBoltEnv:
+    num_envs: int = 4
+    scale: float = 5.0  # the reference example uses the *_5x assets
+    spin: float = 2.0 * np.pi  # driven nut spin about +z (rad/s)
+    asset_root: str = "/root/reference/assets"
+
+    def __post_init__(self):
+        s = self.scale
+        spec = BoltSpec(scale=s)
+        l, hh, hr = spec.length * s, spec.head_h * s, spec.head_r * s
+        half_z = (l + hh) * 0.5
+        bolt_grid = sdf_from_fn(
+            bolt_sdf_fn(spec), (-hr, -hr, -half_z), (hr, hr, half_z)
+        )
+        bv, bf = bolt_mesh(spec)
+        bolt = create_mesh_asset(
+            "bolt", bv, bf, density=7800.0, sdf=bolt_grid, fix_base_link=True
+        )
+        nut = load_urdf(
+            self.asset_root,
+            "urdf/nut_bolt/nut_m4_tight_SI_5x.urdf",
+            density=7800.0,
+        )
+
+        sp = SimParams(dt=1 / 120, substeps=2, gravity=(0.0, 0.0, -9.8))
+        sp.physx.num_position_iterations = 32  # reference :231
+        sp.physx.contact_offset = 0.001 * s / 5.0
+        sp.physx.rest_offset = 0.0
+        sp.physx.contact_slop = 1e-4 * s / 5.0  # thread tolerance << 1.5mm
+
+        # nut link frame: the OBJ sits at z in [4, 7.2] mm (x scale). Start
+        # threaded on near the bolt top; the start height must be a whole
+        # number of pitches above the bolt's thread base (z_world = head_h)
+        # so the threads mate.
+        pitch = spec.pitch * s
+        self.pitch = pitch
+        nut_z = 5.0 * pitch  # 17.5 mm at 5x
+
+        b = SceneBuilder(sp)
+        b.add_ground(PlaneParams())
+        for e in range(self.num_envs):
+            b.create_env((-0.2, -0.2, 0), (0.2, 0.2, 0.4), self.num_envs)
+            b.create_actor(e, bolt, pos=(0, 0, half_z), name="bolt", group=e, filter=0)
+            b.create_actor(e, nut, pos=(0, 0, nut_z), name="nut", group=e, filter=0)
+        self.sim = Simulator(*b.finalize())
+        self.nut_slot = self.sim.scene.find_actor("nut").slot
+
+    # ------------------------------------------------------------------
+    def rollout_fn(self, num_steps: int):
+        """Jittable (state) -> state: spin the nut at self.spin about +z
+        (kinematic drive, like the reference FSM's rotation phase) and let
+        SDF thread contact convert spin into descent."""
+        stepper = self.sim.stepper
+        actions = self.sim.actions
+        params = self.sim.params
+        slot = self.nut_slot
+        w = jnp.array([0.0, 0.0, self.spin], jnp.float32)
+
+        def run(state: SimState) -> SimState:
+            def body(carry, _):
+                carry = carry._replace(
+                    root_angvel=carry.root_angvel.at[:, slot].set(w)
+                )
+                return stepper.step(carry, actions, params), None
+
+            out, _ = jax.lax.scan(body, state, None, length=num_steps)
+            return out
+
+        return run
+
+    def nut_height(self, state: SimState):
+        return state.root_pos[:, self.nut_slot, 2]

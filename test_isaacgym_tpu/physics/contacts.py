@@ -66,8 +66,12 @@ K_HULLV_HULL = 13  # 4 deepest hull(a) verts in hull(b)
 K_HULLV_HULL_R = 14  # 4 deepest hull(b) verts in hull(a)
 K_SPH_HULL = 15  # sphere(a) vs hull(b)
 K_CAP_HULL = 16  # capsule(a) endpoint spheres vs hull(b)
+K_PT_SDF = 17  # surface probes of mesh(a) vs voxel SDF of mesh(b)
+#   (SURVEY.md N9 — nut-bolt threading; trilinear gathers, no traversal)
 
 _MANIFOLD = 4  # contact manifold size for hull vertex kinds
+_SDF_MANIFOLD = 16  # manifold size for SDF probe kinds (threads engage
+#   several turns at once — /root/reference/examples/franka_nut_bolt_ik_osc.py)
 
 
 class _Side(NamedTuple):
@@ -248,12 +252,44 @@ class ContactSolver:
                 f"{len(pairs)} contact pairs exceeds max_pair_shapes; "
                 "hook up the broadphase for this scene size"
             )
+        # SDF pair directions, appended in ROW ORDER (each entry = one group
+        # of _SDF_MANIFOLD K_PT_SDF rows): (grid index, probe array (P,3))
+        sdf_pair_meta: List[tuple] = []
+
+        def _has_sdf(s):
+            return (
+                sh.sdf_id is not None
+                and sh.sdf_id[s] >= 0
+                and sh.kind[s] == SHAPE_MESH
+            )
+
+        def _probes_of(s):
+            if sh.sample_id is not None and sh.sample_id[s] >= 0:
+                return scene.samples[sh.sample_id[s]]
+            hid = sh.hull_id[s] if sh.hull_id is not None else -1
+            return scene.hulls[hid] if hid >= 0 else None
+
         for si, ei, sj, ej in pairs:
+            # mesh pairs where a side carries an SDF use probe-vs-SDF contact
+            # instead of the convex-hull kinds (hulls can't see concave
+            # features like a nut's thread)
+            sdf_dirs = []
+            if sh.kind[si] == SHAPE_MESH and _has_sdf(sj) and _probes_of(si) is not None:
+                sdf_dirs.append((si, ei, sj, ej))
+            if sh.kind[sj] == SHAPE_MESH and _has_sdf(si) and _probes_of(sj) is not None:
+                sdf_dirs.append((sj, ej, si, ei))
+            if sdf_dirs:
+                for sa, ea, sb_, eb in sdf_dirs:
+                    sdf_pair_meta.append((int(sh.sdf_id[sb_]), _probes_of(sa)))
+                    for c in range(_SDF_MANIFOLD):
+                        rows.append((ea, eb, K_PT_SDF, sa, sb_, c))
+                continue
             for code, swap, nslots in kind_code(eff_kind(si), eff_kind(sj)):
                 ssi, ssj, eei, eej = (sj, si, ej, ei) if swap else (si, sj, ei, ej)
                 for c in range(nslots):
                     rows.append((eei, eej, code, ssi, ssj, c))
 
+        self.sdf_data = None
         if not rows:
             self.num_contacts = 0
             self.enabled = self.sphere_world is not None
@@ -340,6 +376,35 @@ class ContactSolver:
             self.hull_verts = jnp.asarray(np.stack(verts), jnp.float32)
             self.hull_planes = jnp.asarray(np.stack(planes), jnp.float32)
 
+        # --- SDF tables (SURVEY.md N9): one stacked (K, R, R, R) grid array;
+        # per-pair probe sets padded to a common length ---
+        if sdf_pair_meta:
+            grids = scene.sdfs
+            R = grids[0].data.shape[0]
+            assert all(
+                g.data.shape == (R, R, R) for g in grids
+            ), "all SDF grids in a scene must share one resolution"
+            self.sdf_data = jnp.asarray(
+                np.stack([g.data for g in grids]), jnp.float32
+            )
+            self.sdf_origin = np.stack([g.origin for g in grids]).astype(np.float32)
+            self.sdf_spacing = np.stack([g.spacing for g in grids]).astype(
+                np.float32
+            )
+            self.sdf_pair_grid = np.asarray(
+                [m[0] for m in sdf_pair_meta], np.int32
+            )
+            pmax = max(len(m[1]) for m in sdf_pair_meta)
+            probes = []
+            for _, pr in sdf_pair_meta:
+                pr = np.asarray(pr, np.float32)
+                if len(pr) < pmax:
+                    pr = np.concatenate(
+                        [pr, np.tile(pr[:1], (pmax - len(pr), 1))], 0
+                    )
+                probes.append(pr)
+            self.sdf_probes = jnp.asarray(np.stack(probes))
+
     # ------------------------------------------------------------------
     def _solve_sphere_world(
         self, body_pos, free_v, free_w, free_m, free_I_w, params, h, zero_cf
@@ -369,7 +434,7 @@ class ContactSolver:
         rest = params.shape_restitution[:, sidx]
         px = self.scene.sim_params.physx
         iters = max(6, 2 * px.num_position_iterations) + px.num_velocity_iterations
-        slop = px.rest_offset + 1.5e-3
+        slop = px.rest_offset + px.contact_slop
         v1, w1, cf_s = _sw.solve(
             spec, pos, vel, omega, radius, inv_m, inv_i, mu, rest,
             h, iters, px.contact_offset, slop, px.bounce_threshold_velocity,
@@ -611,8 +676,62 @@ class ContactSolver:
                 pa, qa, pb, qb, size_a, size_b, zdir, ground_sdf, params,
             )
 
+        if self.sdf_data is not None:
+            point, normal, depth = self._sdf_narrowphase(
+                point, normal, depth, pa, qa, pb, qb, size_a, size_b
+            )
+
         active = depth > -self.scene.sim_params.physx.contact_offset
         return point, normal, depth, active
+
+    # ------------------------------------------------------------------
+    def _sdf_narrowphase(
+        self, point, normal, depth, pa, qa, pb, qb, size_a, size_b
+    ):
+        """Probe-vs-SDF contacts (SURVEY.md N9, nut-bolt threading —
+        /root/reference/examples/franka_nut_bolt_ik_osc.py:215-236).
+
+        Each K_PT_SDF group is _SDF_MANIFOLD rows for one (probing mesh,
+        SDF mesh) direction: all P probe points of side a are pushed through
+        side b's voxel SDF (pure gathers + trilinear interpolation, fused by
+        XLA into the narrowphase), and the deepest _SDF_MANIFOLD land in the
+        rows."""
+        job = self.job
+        sh = self.scene.shapes
+        i0 = np.nonzero((job.kind == K_PT_SDF) & (job.slot == 0))[0]
+        if not len(i0):
+            return point, normal, depth
+        M = _SDF_MANIFOLD
+        sa = np.asarray(job.shape_a)[i0]
+        sb = np.asarray(job.shape_b)[i0]
+        base_a = np.maximum(sh.size[sa].astype(np.float32), 1e-6)
+        base_b = np.maximum(sh.size[sb].astype(np.float32), 1e-6)
+        sig_a = size_a[:, i0] / base_a  # (N, Q, 3) runtime scale
+        sig_b = size_b[:, i0] / base_b
+        w = pa[:, i0, None] + quat_rotate(
+            qa[:, i0, None], self.sdf_probes[None] * sig_a[:, :, None]
+        )  # (N, Q, P, 3)
+        rel = quat_rotate(
+            _qconj(qb[:, i0, None]), w - pb[:, i0, None]
+        ) / jnp.clip(sig_b[:, :, None], 1e-6)
+        phi, n_loc = _sdf_trilinear(
+            self.sdf_data,
+            self.sdf_origin,
+            self.sdf_spacing,
+            self.sdf_pair_grid,
+            rel,
+        )
+        phi = phi * jnp.mean(sig_b, -1)[..., None]  # uniform-scale approx
+        n_w = quat_rotate(qb[:, i0, None], n_loc)
+        vals, ti = jax.lax.top_k(-phi, M)  # deepest probes
+        gi = jnp.broadcast_to(ti[..., None], ti.shape + (3,))
+        pts = jnp.take_along_axis(w, gi, -2)
+        nrm = jnp.take_along_axis(n_w, gi, -2)
+        for s in range(M):
+            point = point.at[:, i0 + s].set(pts[:, :, s])
+            normal = normal.at[:, i0 + s].set(nrm[:, :, s])
+            depth = depth.at[:, i0 + s].set(vals[:, :, s])
+        return point, normal, depth
 
     # ------------------------------------------------------------------
     def _hull_narrowphase(
@@ -975,7 +1094,7 @@ class ContactSolver:
         # Baumgarte bias pushes back (PhysX-like compliance — force-limited
         # gripper squeezes need fingers to sit ~1mm inside the cube so
         # gripper_sep drops below the object width, franka_cube_ik_osc.py:365)
-        slop = px.rest_offset + 1.5e-3
+        slop = px.rest_offset + px.contact_slop
         h_inv = 1.0 / h
         bias = beta * h_inv * jnp.clip(depth - slop, 0.0, None)
 
@@ -1107,6 +1226,55 @@ class ContactSolver:
             jnp.where(has_b[None, :, None], -f_c, 0.0)
         )
         return free_v, free_w, list(art_qd), cf, (lam_n, lam_t)
+
+
+def _sdf_trilinear(data, origin, spacing, gid, x):
+    """Trilinear SDF lookup with the exact gradient of the interpolant.
+
+    data (K, R, R, R) device; origin/spacing (K, 3) numpy; gid (Q,) numpy
+    static grid index per pair; x (N, Q, P, 3) query points in the SDF
+    mesh's AABB-centered local frame. Returns (phi (N,Q,P), n (N,Q,P,3)).
+    Queries outside the grid clamp to the border and add the clamped
+    Euclidean excess, so far probes stay positive (no contact)."""
+    org = jnp.asarray(origin[gid])[None, :, None]  # (1, Q, 1, 3)
+    spc = jnp.asarray(spacing[gid])[None, :, None]
+    g = (x - org) / spc
+    R = data.shape[1]
+    gc = jnp.clip(g, 0.0, R - 1.001)
+    excess = jnp.linalg.norm((g - gc) * spc, axis=-1)
+    i0 = jnp.floor(gc).astype(jnp.int32)
+    f = gc - i0
+    gidj = jnp.asarray(gid)[None, :, None]
+
+    def corner(dx, dy, dz):
+        return data[
+            gidj, i0[..., 0] + dx, i0[..., 1] + dy, i0[..., 2] + dz
+        ]
+
+    c000, c100 = corner(0, 0, 0), corner(1, 0, 0)
+    c010, c110 = corner(0, 1, 0), corner(1, 1, 0)
+    c001, c101 = corner(0, 0, 1), corner(1, 0, 1)
+    c011, c111 = corner(0, 1, 1), corner(1, 1, 1)
+    fx, fy, fz = f[..., 0], f[..., 1], f[..., 2]
+    c00 = c000 * (1 - fx) + c100 * fx
+    c10 = c010 * (1 - fx) + c110 * fx
+    c01 = c001 * (1 - fx) + c101 * fx
+    c11 = c011 * (1 - fx) + c111 * fx
+    c0 = c00 * (1 - fy) + c10 * fy
+    c1 = c01 * (1 - fy) + c11 * fy
+    phi = c0 * (1 - fz) + c1 * fz + excess
+    dpdx = ((c100 - c000) * (1 - fy) + (c110 - c010) * fy) * (1 - fz) + (
+        (c101 - c001) * (1 - fy) + (c111 - c011) * fy
+    ) * fz
+    dpdy = ((c010 - c000) * (1 - fx) + (c110 - c100) * fx) * (1 - fz) + (
+        (c011 - c001) * (1 - fx) + (c111 - c101) * fx
+    ) * fz
+    dpdz = ((c001 - c000) * (1 - fx) + (c101 - c100) * fx) * (1 - fy) + (
+        (c011 - c010) * (1 - fx) + (c111 - c110) * fx
+    ) * fy
+    grad = jnp.stack([dpdx, dpdy, dpdz], -1) / spc
+    n = grad / jnp.linalg.norm(grad, axis=-1, keepdims=True).clip(1e-9)
+    return phi, n
 
 
 def _hull_planes(verts: np.ndarray) -> np.ndarray:

@@ -38,3 +38,11 @@ import jax  # noqa: E402
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 jax.config.update("jax_enable_x64", False)
+# persistent compile cache: the suite is compile-bound on XLA:CPU (~9 min
+# cold); cached reruns finish in ~2 min
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
