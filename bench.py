@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Benchmarks. Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "env-steps/s", "vs_baseline": N,
-   "extra": {...}}
+   "extra": {...}, "errors": {...}}
 
 Flagship metric (BASELINE.json): env-steps/s at 4096 Franka-arm envs with
 OSC control; vs_baseline is against the 1M env-steps/s/host north star
@@ -12,13 +12,21 @@ OSC control; vs_baseline is against the 1M env-steps/s/host north star
     articulated contact), env-steps/s
   * balls1080      — 1080 free balls in ONE collision world (dense
     sphere-world Pallas path), ball-steps/s
+  * nut_bolt@N     — SDF thread contact (nut descends on a bolt)
 
-Run a single config with --config {franka,franka_cube,balls1080}.
+Every config runs in its own try/except: one failure can never erase the
+others' numbers (it lands in `errors` instead).
+
+Run a single config with --config {franka,franka_cube,balls1080,nut_bolt}.
+Run `--verify` for a TPU-executed correctness lane: Pallas-vs-jnp sphere
+kernel parity plus one contact-rich step on the live backend (the pytest
+suite re-execs onto CPU, so this is where TPU kernels get checked).
 """
 import argparse
 import json
 import sys
 import time
+import traceback
 
 sys.path.insert(0, "/root/repo")
 
@@ -78,47 +86,153 @@ def _bench_balls(steps):
     return env.balls_per_world * steps / dt
 
 
+def _bench_nut_bolt(num_envs, steps):
+    import jax
+
+    from test_isaacgym_tpu.envs.nut_bolt import NutBoltEnv
+
+    env = NutBoltEnv(num_envs=num_envs)
+    run = jax.jit(env.rollout_fn(steps), donate_argnums=0)
+    state = run(env.sim.state)
+    jax.block_until_ready(state)
+    t0 = time.perf_counter()
+    state = run(state)
+    jax.block_until_ready(state)
+    dt = time.perf_counter() - t0
+    return num_envs * steps / dt
+
+
+def _verify():
+    """TPU-executed correctness lane (pass/fail JSON)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    checks = {}
+    ok = True
+
+    # 1) Pallas sphere-world kernel vs the pure-jnp reference solver
+    try:
+        from tests.test_sphere_world import _ball_args, _spec
+        from test_isaacgym_tpu.ops import sphere_world as sw
+
+        rng = np.random.RandomState(3)
+        F = 96
+        pos = rng.uniform(-1, 1, (F, 3)).astype(np.float32)
+        pos[:, 2] = rng.uniform(0.1, 1.0, F)
+        vel = rng.uniform(-1, 1, (F, 3)).astype(np.float32)
+        omega = rng.uniform(-3, 3, (F, 3)).astype(np.float32)
+        spec = _spec(F)
+        fargs = _ball_args(pos, vel, omega)
+        a = sw._jnp_solve(spec, *fargs, 1 / 120, 8, 0.01, 0.0025, 0.2)
+        b = sw._pallas_solve(spec, *fargs, 1 / 120, 8, 0.01, 0.0025, 0.2)
+        err = 0.0
+        for x, y in zip(a[:2], b[:2]):
+            scale = max(float(jnp.abs(x).max()), 1.0)
+            err = max(err, float(jnp.abs(x - y).max()) / scale)
+        checks["pallas_sphere_parity_relerr"] = round(err, 6)
+        if err > 5e-3:
+            ok = False
+    except Exception as e:  # noqa: BLE001
+        checks["pallas_sphere_parity_relerr"] = f"ERROR: {e!r}"[:300]
+        ok = False
+
+    # 2) one contact-rich franka_cube rollout chunk executes + stays finite
+    try:
+        from test_isaacgym_tpu.envs.franka_cube import FrankaCubeEnv
+
+        env = FrankaCubeEnv(num_envs=64, controller="osc")
+        run = jax.jit(lambda s: env.rollout(10, s)[0])
+        s = run(env.init_state).sim
+        finite = bool(jnp.isfinite(s.root_pos).all() & jnp.isfinite(s.dof_pos).all())
+        checks["franka_cube_rollout_finite"] = finite
+        ok = ok and finite
+    except Exception as e:  # noqa: BLE001
+        checks["franka_cube_rollout_finite"] = f"ERROR: {e!r}"[:300]
+        ok = False
+
+    checks["backend"] = jax.default_backend()
+    print(json.dumps({"verify": checks, "ok": ok}))
+    return 0 if ok else 1
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--num-envs", type=int, default=4096)
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument(
         "--config",
-        choices=["all", "franka", "franka_cube", "balls1080"],
+        choices=["all", "franka", "franka_cube", "balls1080", "nut_bolt"],
         default="all",
     )
     ap.add_argument("--smoke", action="store_true", help="tiny fast config")
+    ap.add_argument(
+        "--verify", action="store_true",
+        help="run the TPU correctness lane instead of timing",
+    )
     args = ap.parse_args()
+    if args.verify:
+        sys.exit(_verify())
     if args.smoke:
         args.num_envs, args.steps = 64, 10
 
     extra = {}
+    errors = {}
     flagship = None
+
+    def attempt(name, fn):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — isolation is the point
+            traceback.print_exc(file=sys.stderr)
+            errors[name] = repr(e)[:300]
+            return None
+
     if args.config in ("all", "franka"):
-        flagship = _bench_franka(args.num_envs, args.steps)
+        flagship = attempt(
+            "franka", lambda: _bench_franka(args.num_envs, args.steps)
+        )
     if args.config in ("all", "franka_cube"):
         n = min(args.num_envs, 4096)
-        extra[f"franka_cube@{n} env-steps/s"] = round(
-            _bench_franka_cube(n, max(args.steps // 2, 5)), 1
+        v = attempt(
+            "franka_cube",
+            lambda: _bench_franka_cube(n, max(args.steps // 2, 5)),
         )
+        if v is not None:
+            extra[f"franka_cube@{n} env-steps/s"] = round(v, 1)
     if args.config in ("all", "balls1080"):
-        extra["balls1080 ball-steps/s"] = round(
-            _bench_balls(steps=50 if args.smoke else 400), 1
+        v = attempt(
+            "balls1080", lambda: _bench_balls(steps=50 if args.smoke else 400)
         )
+        if v is not None:
+            extra["balls1080 ball-steps/s"] = round(v, 1)
+    if args.config in ("all", "nut_bolt"):
+        n = min(args.num_envs, 1024)
+        v = attempt(
+            "nut_bolt",
+            lambda: _bench_nut_bolt(n, max(args.steps // 2, 5)),
+        )
+        if v is not None:
+            extra[f"nut_bolt@{n} env-steps/s"] = round(v, 1)
 
-    if flagship is None:  # single non-flagship config: report it as main
-        key, val = next(iter(extra.items()))
-        out = {"metric": key, "value": val, "unit": key.split()[-1],
-               "vs_baseline": round(val / 1_000_000.0, 4)}
-    else:
+    if flagship is not None:
         out = {
             "metric": f"env-steps/s @ {args.num_envs} Franka OSC envs (1 chip)",
             "value": round(flagship, 1),
             "unit": "env-steps/s",
             "vs_baseline": round(flagship / 1_000_000.0, 4),
         }
-        if extra:
-            out["extra"] = extra
+    elif extra:  # flagship failed/skipped: promote the first extra config
+        key, val = next(iter(extra.items()))
+        out = {"metric": key, "value": val, "unit": key.split()[-1],
+               "vs_baseline": round(val / 1_000_000.0, 4)}
+    else:
+        out = {"metric": "bench failed (see errors)", "value": 0,
+               "unit": "env-steps/s", "vs_baseline": 0.0}
+    if extra:
+        out["extra"] = extra
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 

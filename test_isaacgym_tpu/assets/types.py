@@ -148,12 +148,21 @@ class GeomSpec:
             )
         return np.eye(3) * 1e-4
 
-    def center(self) -> np.ndarray:
+    def mesh_center(self) -> np.ndarray:
+        """Vertex-AABB center in the GEOM frame (zero for primitives).
+
+        The mesh shape/hull/SDF frames are all AABB-centered; composing with
+        the collision `<origin>` is the caller's job: the shape origin in the
+        LINK frame is `pos + R(quat) @ mesh_center()`."""
         if self.kind == GEOM_MESH and self.vertices is not None and len(self.vertices):
-            return np.asarray(self.pos) + (
-                self.vertices.min(0) + self.vertices.max(0)
-            ) * 0.5
-        return np.asarray(self.pos, dtype=np.float64)
+            return (self.vertices.min(0) + self.vertices.max(0)) * 0.5
+        return np.zeros(3)
+
+    def center(self) -> np.ndarray:
+        """Shape origin in the LINK frame (geom origin + rotated AABB center)."""
+        return np.asarray(self.pos, np.float64) + _quat_to_mat_np(
+            self.quat
+        ) @ self.mesh_center()
 
 
 @dataclasses.dataclass
@@ -316,7 +325,7 @@ def compute_default_inertia(link: LinkSpec, density: float) -> None:
     for g in geoms:
         rho = g.density if g.density is not None else density
         m = rho * g.volume()
-        c = _quat_to_mat_np(g.quat) @ (g.center() - np.asarray(g.pos)) + np.asarray(g.pos)
+        c = g.center()
         parts.append((m, c, g))
         total_m += m
         com += m * c

@@ -147,6 +147,23 @@ def _parse_geometry(geo_el, origin_el, urdf_dir, asset_root, load_meshes):
     return None
 
 
+_sdf_res_warned = set()
+
+
+def _log_sdf_res_once(path: str, requested: int) -> None:
+    """All SDF grids in a scene stack into one (K, R, R, R) device array, so
+    per-asset `<sdf resolution>` requests are quantized to assets.sdf.SDF_RES;
+    say so once per asset instead of silently ignoring the request."""
+    if path not in _sdf_res_warned:
+        _sdf_res_warned.add(path)
+        from .sdf import SDF_RES
+
+        print(
+            f"[test_isaacgym_tpu] {os.path.basename(path)}: <sdf resolution="
+            f"{requested}> quantized to the scene-wide grid size {SDF_RES}"
+        )
+
+
 def load_urdf(
     asset_root: str,
     filename: str,
@@ -201,13 +218,18 @@ def load_urdf(
                         # `<sdf resolution="512"/>` — SURVEY.md N9). Build
                         # grid + surface sample probes from the FULL mesh
                         # (concave thread detail) before convex hulling.
-                        from .sdf import farthest_point_sample, sdf_from_mesh
+                        # Grid and probes live in the mesh-AABB-centered
+                        # frame — the same frame the scene's shape origin
+                        # uses (GeomSpec.center applies the collision
+                        # <origin> offset), so a nonzero origin stays exact.
+                        from .sdf import SDF_RES, farthest_point_sample, sdf_from_mesh
 
                         g.sdf_resolution = int(sdf_el.get("resolution", 256))
+                        if g.sdf_resolution != SDF_RES:
+                            _log_sdf_res_once(path, g.sdf_resolution)
                         g.sdf = sdf_from_mesh(g.vertices, g.faces)
-                        center = (g.vertices.min(0) + g.vertices.max(0)) * 0.5
                         g.sdf_samples = farthest_point_sample(
-                            g.vertices - center, 256
+                            g.vertices - g.mesh_center(), 256
                         )
                     g.vertices = convex_hull_vertices(g.vertices, max_hull_verts)
                 l.geoms.append(g)

@@ -639,7 +639,7 @@ class SceneBuilder:
                                 hull_id = len(hulls)
                                 hulls.append(
                                     np.asarray(
-                                        g.vertices - g.center(), np.float32
+                                        g.vertices - g.mesh_center(), np.float32
                                     )
                                 )
                                 hull_of_geom[id(g)] = hull_id
@@ -648,15 +648,9 @@ class SceneBuilder:
                     else:
                         sh_kind.append(SHAPE_SPHERE)
                         sh_size.append((0.05, 0, 0))
-                    if g.kind == GEOM_MESH:
-                        # shape origin = hull AABB center, expressed in the
-                        # LINK frame (geom origin offset + rotation applied)
-                        center = np.asarray(g.pos, np.float64) + _np_quat_rotate(
-                            np.asarray(g.quat, np.float64),
-                            g.center().astype(np.float64),
-                        )
-                    else:
-                        center = np.asarray(g.pos, dtype=np.float64)
+                    # shape origin in the LINK frame: geom origin offset plus
+                    # the rotated mesh-AABB center (identity for primitives)
+                    center = g.center()
                     sh_hull.append(hull_id)
                     sh_sdf.append(sdf_id)
                     sh_samp.append(samp_id)

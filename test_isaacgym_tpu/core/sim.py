@@ -216,8 +216,13 @@ class Simulator:
         return fn
 
     def mass_matrix_fn(self, actor_name: str):
-        """Pure fn state -> (N, D, D) joint-space mass matrix (fixed-base
-        layout of acquire_mass_matrix_tensor)."""
+        """Pure fn (state[, params]) -> (N, D, D) joint-space mass matrix
+        (fixed-base layout of acquire_mass_matrix_tensor).
+
+        Consumes the RUNTIME body params (mass/com/inertia), so the exposed
+        tensor agrees with the dynamics after domain randomization
+        (randomize_body_mass) — the same gather physics/step.py does.
+        `params` defaults to the simulator's current params."""
         gi, g, meta = self._group_of_actor(actor_name)
         topo = gi.topo
         copy = list(g.slots).index(meta.slot)
@@ -225,10 +230,22 @@ class Simulator:
         didx = jnp.asarray(gi.dof_idx[copy])
         base = 0 if topo.fixed_base else 6
         pose = self._link_pose_fn(gi, copy, slot, didx)
+        lbidx = jnp.asarray(gi.link_body_idx[copy])  # (Ls,) env body index
+        is_real = jnp.asarray(gi.link_is_real)
 
-        def fn(state: SimState):
+        def fn(state: SimState, params=None):
+            p = params if params is not None else self.params
             pos, quat = pose(state)
-            M = dynamics.mass_matrix(topo, pos, quat)
+            mass_l = jnp.where(is_real, p.body_mass[:, lbidx], topo.mass)
+            com_l = jnp.where(
+                is_real[..., None], p.body_com[:, lbidx], topo.com
+            )
+            inert_l = jnp.where(
+                is_real[..., None, None], p.body_inertia[:, lbidx], topo.inertia
+            )
+            M = dynamics.mass_matrix(
+                topo, pos, quat, mass=mass_l, com=com_l, inertia=inert_l
+            )
             return M[..., base:, base:]
 
         return fn

@@ -96,17 +96,18 @@ class FrankaOscEnv:
         self._step = jax.jit(self._step_impl)
 
     # ------------------------------------------------------------------
-    def _control(self, state: SimState, itr, refs=None):
+    def _control(self, state: SimState, itr, refs=None, params=None):
         """OSC torque for circle tracking (franka_osc.py:215-245 semantics).
 
         refs = (init_hand_pos, init_hand_quat, origins), passed explicitly so
-        the function stays shard_map-able (no closed-over (N, .) constants)."""
+        the function stays shard_map-able (no closed-over (N, .) constants);
+        same for `params` (the runtime mass matrix gathers body params)."""
         init_hand_pos, init_hand_quat, origins = (
             refs if refs is not None
             else (self.init_hand_pos, self.init_hand_quat, self.origins)
         )
         j_eef = self._hand_jac_fn(state)[:, :, :7]  # (N, 6, 7)
-        mm = self._mm_fn(state)  # (N, 9, 9)
+        mm = self._mm_fn(state, params)  # (N, 9, 9)
         mm77 = mm[:, :7, :7]
 
         hand_pos = state.body_pos[:, self.hand_body]
@@ -137,7 +138,7 @@ class FrankaOscEnv:
         return effort, pos_target
 
     def _step_impl(self, state, actions, params, itr, refs=None):
-        effort, pos_target = self._control(state, itr, refs)
+        effort, pos_target = self._control(state, itr, refs, params)
         actions = actions._replace(dof_effort=effort, dof_pos_target=pos_target)
         return self.sim.stepper.step(state, actions, params)
 

@@ -211,7 +211,7 @@ class FrankaCubeEnv:
             arm_target = dof_pos[:, :7] + dq
             effort = jnp.zeros((N, 9))
         else:
-            mm7 = self._mm(st)[:, :7, :7]
+            mm7 = self._mm(st, self.sim.params)[:, :7, :7]
             jt = jnp.swapaxes(j_eef, -1, -2)
             m_eef_inv = j_eef @ spd_solve(mm7, jt)
             u = (

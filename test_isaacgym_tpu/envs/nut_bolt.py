@@ -33,7 +33,11 @@ from ..core.state import SimState
 class NutBoltEnv:
     num_envs: int = 4
     scale: float = 5.0  # the reference example uses the *_5x assets
-    spin: float = 2.0 * np.pi  # driven nut spin about +z (rad/s)
+    # driven nut spin about z (rad/s). Right-hand thread: u = z - p*theta/2pi,
+    # so NEGATIVE spin (clockwise from above) screws the nut DOWN — the same
+    # sign the reference FSM drives (franka_nut_bolt_ik_osc.py rotation phase).
+    spin: float = -2.0 * np.pi
+    env_spacing: float = 0.2  # 0 co-locates envs (bitwise-determinism tests)
     asset_root: str = "/root/reference/assets"
 
     def __post_init__(self):
@@ -60,22 +64,59 @@ class NutBoltEnv:
         sp.physx.rest_offset = 0.0
         sp.physx.contact_slop = 1e-4 * s / 5.0  # thread tolerance << 1.5mm
 
-        # nut link frame: the OBJ sits at z in [4, 7.2] mm (x scale). Start
-        # threaded on near the bolt top; the start height must be a whole
-        # number of pitches above the bolt's thread base (z_world = head_h)
-        # so the threads mate.
         pitch = spec.pitch * s
         self.pitch = pitch
-        nut_z = 5.0 * pitch  # 17.5 mm at 5x
+        # Start height: threads must MATE (the nut's internal thread phase
+        # lines up with the bolt's external one) and the nut must clear the
+        # bolt head below. The phase depends on where the nut OBJ's thread
+        # sits in its AABB-centered frame, so compute it: scan one pitch of
+        # candidate heights around mid-shank and keep the one with maximum
+        # probe clearance (exact analytic bolt SDF, numpy, build-time only).
+        probes = next(
+            g.sdf_samples
+            for l in nut.links
+            for g in l.geoms
+            if getattr(g, "sdf_samples", None) is not None
+        )
+        fn = bolt_sdf_fn(spec)
+        nut_half = float(probes[:, 2].max())
+        target = hh + nut_half + 2.5 * pitch  # clears the head by ~2 pitches
+        zs = np.arange(target - pitch / 2, target + pitch / 2, pitch / 64)
+        clear = np.array(
+            [fn(probes + np.array([0.0, 0.0, z - half_z], np.float32)).min()
+             for z in zs]
+        )
+        nut_z = float(zs[int(np.argmax(clear))])
+        if clear.max() < 0:
+            raise RuntimeError(
+                f"nut/bolt threads never mate (best clearance {clear.max():.2e})"
+            )
 
         b = SceneBuilder(sp)
         b.add_ground(PlaneParams())
+        d = self.env_spacing
         for e in range(self.num_envs):
-            b.create_env((-0.2, -0.2, 0), (0.2, 0.2, 0.4), self.num_envs)
+            b.create_env((-d, -d, 0), (d, d, 0.4), self.num_envs)
             b.create_actor(e, bolt, pos=(0, 0, half_z), name="bolt", group=e, filter=0)
             b.create_actor(e, nut, pos=(0, 0, nut_z), name="nut", group=e, filter=0)
         self.sim = Simulator(*b.finalize())
         self.nut_slot = self.sim.scene.find_actor("nut").slot
+
+        # The nut is rotation-servoed (the reference turns it with the
+        # gripper/FSM; here the "wrench" is ideal): give it effectively
+        # infinite rotational inertia so contact impulses move it only
+        # translationally — the solver can't fight the driven spin, and the
+        # thread contact cleanly converts the forced rotation into descent.
+        nut_body = self.sim.scene.find_actor("nut").body_start
+        I = np.array(self.sim.params.body_inertia)
+        I[:, nut_body] = np.eye(3) * 1e3
+        self.sim.params = self.sim.params._replace(body_inertia=jnp.asarray(I))
+        self.sim.state = self.sim.state._replace(
+            root_angvel=self.sim.state.root_angvel.at[:, self.nut_slot].set(
+                jnp.array([0.0, 0.0, self.spin], jnp.float32)
+            )
+        )
+        self.sim.initial_state = self.sim.state
 
     # ------------------------------------------------------------------
     def rollout_fn(self, num_steps: int):

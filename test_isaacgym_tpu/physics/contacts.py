@@ -399,9 +399,12 @@ class ContactSolver:
             for _, pr in sdf_pair_meta:
                 pr = np.asarray(pr, np.float32)
                 if len(pr) < pmax:
-                    pr = np.concatenate(
-                        [pr, np.tile(pr[:1], (pmax - len(pr), 1))], 0
-                    )
+                    # pad with a FAR sentinel (outside any grid -> phi >> 0,
+                    # never a contact). Tiling a real probe would let top_k
+                    # fill several manifold slots with one duplicated point,
+                    # concentrating duplicate impulses there (ADVICE r2).
+                    far = np.full((pmax - len(pr), 3), 1e3, np.float32)
+                    pr = np.concatenate([pr, far], 0)
                 probes.append(pr)
             self.sdf_probes = jnp.asarray(np.stack(probes))
 
@@ -784,13 +787,12 @@ class ContactSolver:
             )
             sd = jnp.max(s_f, axis=-1) * sig_u[..., None]
             fidx = jnp.argmax(s_f, axis=-1)  # (N, P, K)
-            pn = jnp.broadcast_to(
-                planes[None, :, None, :, :3], s_f.shape + (3,)
-            )
-            n_loc = jnp.take_along_axis(
-                pn, jnp.broadcast_to(fidx[..., None, None], fidx.shape + (1, 3)),
-                axis=-2,
-            )[..., 0, :]
+            # batched gather of the argmax face normal: (N,P,K,4) output only.
+            # (The obvious broadcast_to((N,P,K,F,3)) + take_along_axis blows
+            # up under the TPU tiled layout: (F,3) pads to (128,128), turning
+            # ~1 GB into 47 GB at 4096 envs — the round-2 bench OOM.)
+            pidx = jnp.arange(planes.shape[0])[None, :, None]
+            n_loc = planes[pidx, fidx][..., :3]
             return sd, quat_rotate(q_[:, i0, None, :], n_loc)
 
         def top4(i0, pts, nrms, deps):
