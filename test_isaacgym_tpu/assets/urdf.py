@@ -147,6 +147,40 @@ def _parse_geometry(geo_el, origin_el, urdf_dir, asset_root, load_meshes):
     return None
 
 
+def mesh_material_color(mesh_path: str):
+    """Mean diffuse (Kd) color of an OBJ's MTL materials, or None.
+
+    AssetOptions.use_mesh_materials pulls materials from the mesh file
+    instead of the URDF override (/root/reference/examples/
+    graphics_materials.py:77-88). The v1 renderer shades one albedo per
+    shape, so mesh-level materials reduce to the mean Kd."""
+    try:
+        if not mesh_path or not mesh_path.lower().endswith(".obj"):
+            return None
+        mtl = None
+        with open(mesh_path) as f:
+            for line in f:
+                if line.startswith("mtllib"):
+                    mtl = os.path.join(
+                        os.path.dirname(mesh_path), line.split(None, 1)[1].strip()
+                    )
+                    break
+        if mtl is None or not os.path.exists(mtl):
+            return None
+        kds = []
+        with open(mtl) as f:
+            for line in f:
+                if line.startswith("Kd "):
+                    kds.append([float(x) for x in line.split()[1:4]])
+        if not kds:
+            return None
+        import numpy as _np
+
+        return tuple(_np.mean(_np.asarray(kds), axis=0).tolist())
+    except Exception:  # noqa: BLE001 — material parsing is best-effort
+        return None
+
+
 _sdf_res_warned = set()
 
 
@@ -174,6 +208,7 @@ def load_urdf(
     armature: float = 0.0,
     load_meshes: bool = True,
     max_hull_verts: int = 64,
+    use_mesh_materials: bool = False,
 ) -> AssetSpec:
     path = os.path.join(asset_root, filename)
     tree = ET.parse(path)
@@ -242,7 +277,19 @@ def load_urdf(
                     if col is not None:
                         rgba = _floats(col.get("rgba"), [0.7, 0.7, 0.7, 1])
                         g.color = tuple(rgba[:3])
+                if use_mesh_materials and g.kind == GEOM_MESH:
+                    mc = mesh_material_color(g.mesh_path)
+                    if mc is not None:
+                        g.color = mc  # mesh file materials win (reference
+                        # use_mesh_materials semantics)
                 l.visuals.append(g)
+        # propagate visual color to the link's collision geoms (the renderer
+        # ray-casts collision proxies; visual-only colors would be invisible)
+        vis_col = next((v.color for v in l.visuals if v.color is not None), None)
+        if vis_col is not None:
+            for cg in l.geoms:
+                if cg.color is None:
+                    cg.color = vis_col
         if not l.explicit_inertial:
             compute_default_inertia(l, density)
         links_by_name[name] = l

@@ -34,7 +34,21 @@ class PhysXParams:
     friction_offset_threshold: float = 0.04
     friction_correlation_distance: float = 0.025
     bounce_threshold_velocity: float = 0.2
+    # cap on the Baumgarte penetration-recovery velocity (PhysX parity:
+    # effectively unbounded by default). Scenes that enable cross-step
+    # contact warm starting should LOWER this (~0.5 m/s): the velocity-level
+    # Jacobi solver injects the bias into real momentum, and a converged
+    # warm impulse plus an unbounded bias turns deep contacts into
+    # launch-and-bounce limit cycles.
     max_depenetration_velocity: float = 100.0
+    # CROSS-STEP contact warm starting: persist the solver's accumulated
+    # impulses in SimState and re-apply them next step (within-step warm
+    # starting across substeps is always on). Helps quasi-static scenes at
+    # low iteration counts (uniform stacks settle at 4 iterations that
+    # jitter cold); hurts impact-heavy / extreme-mass-ratio scenes, where
+    # the split-mass Jacobi un-learns a stale impact impulse as slowly as
+    # it learned it. Off by default.
+    warm_start_contacts: bool = False
     # solver penetration allowance before the Baumgarte bias pushes back
     # (added to rest_offset). The 1.5 mm default is the grasp-compliance
     # tuning (force-limited fingers sink in ~1mm to squeeze,

@@ -41,6 +41,14 @@ from ..assets.types import (
 )
 from .config import PlaneParams, SimParams
 
+
+def _vec3t(v):
+    """Coerce gymapi.Vec3-style objects (reference scripts assign
+    sim_params.gravity = gymapi.Vec3(...)) to a plain tuple."""
+    if hasattr(v, "x"):
+        return (float(v.x), float(v.y), float(v.z))
+    return tuple(float(q) for q in v)
+
 # integer joint codes used in topology arrays
 JT_ROOT = 0
 JT_REVOLUTE = 1
@@ -326,20 +334,27 @@ class SceneBuilder:
 
     # -- build API ----------------------------------------------------------
     def add_ground(self, plane: PlaneParams):
+        plane.normal = _vec3t(plane.normal)
         self.ground = plane
 
     def create_env(self, lower, upper, per_row: int) -> int:
         """Grid placement identical in spirit to gym.create_env
-        (/root/reference/test/test06_isaacgym_vecenv.py:292-296)."""
+        (/root/reference/test/test06_isaacgym_vecenv.py:292-296).
+
+        The grid tiles the two HORIZONTAL axes: (x, y) under UP_AXIS_Z,
+        (x, z) under UP_AXIS_Y — the up_axis consumption the reference's
+        test_graphics_up.py:42-43 relies on."""
         i = len(self.envs)
         lower = np.asarray(lower, dtype=np.float64)
         upper = np.asarray(upper, dtype=np.float64)
         ext = upper - lower
         row, col = divmod(i, max(per_row, 1))
-        origin = np.array([col * ext[0], row * ext[1], 0.0]) - np.array(
-            [lower[0], lower[1], 0.0]
-        ) * 0  # origins at grid cells; env-local coords added to origin
-        origin = np.array([col * ext[0], row * ext[1], 0.0])
+        from .config import UP_AXIS_Y
+
+        if self.sim_params.up_axis == UP_AXIS_Y:
+            origin = np.array([col * ext[0], 0.0, row * ext[2]])
+        else:
+            origin = np.array([col * ext[0], row * ext[1], 0.0])
         self.envs.append([])
         self.env_origins.append(origin)
         return i
@@ -818,6 +833,6 @@ class SceneBuilder:
             attractor_stiffness=jnp.asarray(attr_init["stiffness"]),
             attractor_damping=jnp.asarray(attr_init["damping"]),
             attractor_force_limit=jnp.asarray(attr_init["force_limit"]),
-            gravity=jnp.asarray(np.asarray(self.sim_params.gravity, f32)),
+            gravity=jnp.asarray(np.asarray(_vec3t(self.sim_params.gravity), f32)),
         )
         return scene, state, params

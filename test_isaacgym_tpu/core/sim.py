@@ -27,6 +27,15 @@ class Simulator:
         self.stepper = Stepper(scene)
         self.env_origins = jnp.asarray(scene.env_origins, jnp.float32)
         self.params = params
+        # size the persistent warm-start impulse rows to the contact table
+        # (opt-in: physx.warm_start_contacts)
+        C = self.stepper.contact.num_contacts
+        if C and scene.sim_params.physx.warm_start_contacts:
+            n = state.root_pos.shape[0]
+            state = state._replace(
+                warm_n=jnp.zeros((n, C), jnp.float32),
+                warm_t=jnp.zeros((n, C, 3), jnp.float32),
+            )
         self.state = self.stepper.refresh_body_state(state, params)
         self.initial_state = self.state
         self.actions = zero_actions(

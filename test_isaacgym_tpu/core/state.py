@@ -44,6 +44,12 @@ class SimState(NamedTuple):
     # sim clock
     time: jax.Array  # scalar f32
     steps: jax.Array  # scalar i32
+    # persistent contact impulses for CROSS-STEP warm starting of the static
+    # contact table, keyed by static row id: (N, C) normal + (N, C, 3)
+    # friction. C=0 until the Simulator sizes them to its contact table;
+    # stale rows decay naturally (the solver masks by `active` on re-entry).
+    warm_n: jax.Array = None
+    warm_t: jax.Array = None
 
     @property
     def num_envs(self):

@@ -253,6 +253,7 @@ class Sim:
         }
         self.textures: List[np.ndarray] = []
         self._shape_color: Optional[np.ndarray] = None  # (N, S, 3)
+        self._shape_tex: Optional[np.ndarray] = None  # (N, S) texture id, -1 none
         self._pending_colors: list = []  # (env_idx, slot, body, rgb) pre-build
         self._render_tables = None
         self._oneshot_force = False
@@ -296,6 +297,9 @@ class Sim:
         self._shape_color = np.tile(
             self._render_tables.color[None], (scene.num_envs, 1, 1)
         ).astype(np.float32)
+        self._shape_tex = np.full(
+            (scene.num_envs, scene.shapes.count), -1, np.int32
+        )
         for e, slot, body, color in self._pending_colors:
             m = scene.actors[slot]
             mask = scene.shapes.body_slot == (m.body_start + body)
@@ -635,6 +639,7 @@ class Gym:
                 rootpath,
                 filename,
                 collapse_fixed=options.collapse_fixed_joints,
+                use_mesh_materials=options.use_mesh_materials,
                 **kw,
             )
         asset.disable_gravity = options.disable_gravity
@@ -1561,14 +1566,24 @@ class Gym:
         )
 
     def set_camera_location(self, cam: int, env: Env, eye: Vec3, target: Vec3):
+        from ..core.config import UP_AXIS_Y
+
+        up = (0, 1, 0) if env.sim.params.up_axis == UP_AXIS_Y else (0, 0, 1)
         env.sim.cameras[cam].set_location(
-            env.idx, (eye.x, eye.y, eye.z), (target.x, target.y, target.z)
+            env.idx, (eye.x, eye.y, eye.z), (target.x, target.y, target.z), up
         )
 
     def set_camera_transform(self, cam: int, env: Env, t: Transform):
         env.sim.cameras[cam].set_transform(
             env.idx, (t.p.x, t.p.y, t.p.z), (t.r.x, t.r.y, t.r.z, t.r.w)
         )
+
+    def set_camera_horizontal_fov(self, cam: int, env: Env, fov_deg: float):
+        """Per-env runtime camera zoom (framework extension: replaces
+        test11's 90-cameras-per-env fov sweep with one camera whose fov is
+        a traced per-env array — test11_servo_vecenv_camerazoom.py:327-335,
+        409-410)."""
+        env.sim.cameras[cam].set_horizontal_fov(env.idx, fov_deg)
 
     def get_camera_transform(self, sim: Sim, env: Env, cam: int) -> Transform:
         sim._ensure_built()
@@ -1600,10 +1615,37 @@ class Gym:
         else:
             ground = np.zeros(4, np.float32)
         color, ambient, ldir = sim.lights[0]
+        # stacked texture atlas (rebuilt when the texture list changes)
+        tex = tex_id = None
+        if any(t is not None for t in sim.textures) and (sim._shape_tex >= 0).any():
+            from ..render.raster import TEX_RES, resample_texture
+
+            key = len(sim.textures)
+            if getattr(sim, "_tex_atlas_key", None) != key:
+                sim._tex_atlas = np.stack([
+                    resample_texture(t) if t is not None
+                    else np.zeros((TEX_RES, TEX_RES, 3), np.float32)
+                    for t in sim.textures
+                ])
+                sim._tex_atlas_key = key
+            tex = sim._tex_atlas
+            tex_id = sim._shape_tex
+        N = s.scene.num_envs
         for sensor in sim.cameras:
             if sensor.destroyed:
                 continue
             cp, cq = sensor.world_pose(s.state, s.env_origins)
+            if sensor.fov_per_env is not None:
+                hfov = np.full(N, sensor.props.horizontal_fov, np.float32)
+                m = min(N, len(sensor.fov_per_env))
+                hfov[:m] = sensor.fov_per_env[:m]
+            else:
+                hfov = float(sensor.props.horizontal_fov)
+            ss = max(
+                1,
+                int(getattr(sensor.props, "supersampling_horizontal", 1)),
+                int(getattr(sensor.props, "supersampling_vertical", 1)),
+            )
             rgba, depth, seg = render_camera_batch(
                 cp,
                 cq,
@@ -1618,10 +1660,13 @@ class Gym:
                 np.asarray(color, np.float32),
                 np.asarray(ambient, np.float32),
                 np.array([0.32, 0.45, 0.6], np.float32),  # sky
+                hfov,
+                tex,
+                tex_id,
                 width=sensor.props.width,
                 height=sensor.props.height,
-                hfov=float(sensor.props.horizontal_fov),
                 far=float(sensor.props.far_plane),
+                ss=ss,
             )
             sensor.color = np.asarray(rgba)
             sensor.depth = np.asarray(depth)
@@ -1679,7 +1724,9 @@ class Gym:
         return len(sim.textures) - 1
 
     def free_texture(self, sim: Sim, tex: int):
-        pass
+        if 0 <= tex < len(sim.textures):
+            sim.textures[tex] = None
+            sim._tex_atlas_key = None  # force atlas rebuild
 
     def set_rigid_body_color(self, env: Env, actor: int, body: int, mesh: int, color: Vec3):
         # callable during scene creation (the reference sets colors inline,
@@ -1704,11 +1751,13 @@ class Gym:
         return Vec3(*env.sim._shape_color[env.idx, idx[0]])
 
     def set_rigid_body_texture(self, env: Env, actor: int, body: int, mesh: int, tex: int):
-        """v1 renderer applies the texture's mean color as albedo (full UV
-        sampling is on the render roadmap)."""
-        t = env.sim.textures[tex]
-        mean = (t[..., :3].astype(np.float32) / 255.0).mean(axis=(0, 1))
-        self.set_rigid_body_color(env, actor, body, mesh, Vec3(*mean))
+        """Assign a loaded texture to a body's shapes; the renderer samples
+        it with analytic UVs (graphics.py:185-196)."""
+        env.sim._ensure_built()
+        m = env.sim._meta(actor)
+        sh = env.sim.sim.scene.shapes
+        mask = sh.body_slot == (m.body_start + body)
+        env.sim._shape_tex[env.idx, mask] = tex
 
     def set_rigid_body_segmentation_id(self, env: Env, actor: int, body: int, seg: int):
         env.sim._ensure_built()

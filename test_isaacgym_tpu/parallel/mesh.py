@@ -23,6 +23,39 @@ def make_env_mesh(devices=None, axis: str = "env") -> Mesh:
     return jax.make_mesh((len(devices),), (axis,), devices=devices)
 
 
+def make_2d_mesh(dcn: Optional[int] = None, ici: Optional[int] = None, devices=None) -> Mesh:
+    """2-D ('dcn', 'ici') mesh: slow DCN links across hosts/slices as the
+    OUTER axis, fast ICI within a slice as the inner one. jax.make_mesh
+    orders devices so the last mesh axis varies fastest — exactly the
+    layout that keeps env-shard collectives riding ICI (scaling-book
+    recipe). Env arrays shard over BOTH axes (see env_specs axis tuple)."""
+    devices = devices if devices is not None else jax.devices()
+    if dcn is None:
+        dcn = max(getattr(jax, "process_count", lambda: 1)(), 1)
+    if ici is None:
+        ici = len(devices) // dcn
+    assert dcn * ici == len(devices), (dcn, ici, len(devices))
+    return jax.make_mesh((dcn, ici), ("dcn", "ici"), devices=devices)
+
+
+def init_distributed(coordinator: Optional[str] = None, num_processes: Optional[int] = None, process_id: Optional[int] = None) -> None:
+    """Multi-host entry: initialize the JAX distributed runtime.
+
+    On a real pod each host calls this once before building envs (args or
+    the standard JAX_COORDINATOR_ADDRESS/... env vars); single-process runs
+    are a no-op so the same script works 1-host and N-host."""
+    if num_processes in (None, 1) and coordinator is None and not any(
+        k in __import__("os").environ
+        for k in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS")
+    ):
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
 def shard_env_tree(tree, mesh: Mesh, num_envs: int, axis: str = "env"):
     """Place every leaf whose leading dim == num_envs on the env axis;
     replicate everything else (gravity vector, scalars, clocks)."""
@@ -65,11 +98,54 @@ def shard_step(step_fn, mesh: Mesh, state, actions, params, axis: str = "env"):
 
 
 def obs_gather(obs, mesh: Mesh, axis: str = "env"):
-    """All-gather per-env observations to every device (learner-side gather
-    of the north star). obs: (N, ...) sharded -> fully replicated."""
+    """Host-side reshard of per-env observations to every device. For the
+    IN-PROGRAM collective (the north star's learner gather) use
+    gather_obs / rollout_with_obs below — this helper is for one-off host
+    reads outside a jitted region."""
     return jax.device_put(
         obs, NamedSharding(mesh, P(*([None] * obs.ndim)))
     )
+
+
+def gather_obs(obs, axis="env"):
+    """IN-PROGRAM learner gather: all_gather per-env observations across the
+    env shards, inside a shard_map body. obs (n_local, ...) -> (N, ...)
+    replicated on every shard. `axis` may be a tuple (('dcn','ici')) for a
+    2-D mesh — XLA lowers it to an ICI all-gather within slices plus a DCN
+    exchange across them."""
+    return jax.lax.all_gather(obs, axis, axis=0, tiled=True)
+
+
+def rollout_with_obs(step_fn, obs_fn, mesh: Mesh, state, actions, params, num_steps: int, axis="env"):
+    """Sharded rollout with an in-program learner gather each step:
+
+        carry -> scan(step; obs = obs_fn(state); all_gather(obs)) -> (state, obs_traj)
+
+    Returns a jitted fn(state, actions, params) -> (final_state,
+    (num_steps, N, ...) replicated obs) — the exact 'sim shards produce,
+    learner consumes' loop of BASELINE.json, with the gather riding the
+    mesh collectives instead of host transfers."""
+    n = state.root_pos.shape[0]
+    s_spec = env_specs(state, n, axis)
+    a_spec = env_specs(actions, n, axis)
+    p_spec = env_specs(params, n, axis)
+
+    def sharded(state, actions, params):
+        def body(carry, _):
+            nxt = step_fn(carry, actions, params)
+            obs = gather_obs(obs_fn(nxt), axis)
+            return nxt, obs
+
+        return jax.lax.scan(body, state, None, length=num_steps)
+
+    f = jax.shard_map(
+        sharded,
+        mesh=mesh,
+        in_specs=(s_spec, a_spec, p_spec),
+        out_specs=(s_spec, P()),
+        check_vma=False,
+    )
+    return jax.jit(f)
 
 
 def psum_metrics(tree, mesh: Mesh, axis: str = "env"):

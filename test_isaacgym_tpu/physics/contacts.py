@@ -157,6 +157,28 @@ class ContactSolver:
         )
         sw_ground = self.sphere_world.has_ground if self.sphere_world else False
 
+        # --- neighbor-list fast path (ops/neighbor_world.py): large MIXED
+        # free-body sets (boxes + spheres) that the pure-sphere path can't
+        # take — broadphase is a per-substep (F, K) nearest-neighbor list,
+        # so the static O(n^2) table never sees these shapes ---
+        from ..ops import neighbor_world as _nw
+
+        self.neighbor_world = _nw.build_spec(
+            scene, exclude_sphere_pairs=self.sphere_world is not None
+        )
+        nw_shapes = (
+            set(self.neighbor_world.shape_idx.tolist())
+            if self.neighbor_world is not None
+            else set()
+        )
+        nw_ground = self.neighbor_world.has_ground if self.neighbor_world else False
+        # ground rows a fast path owns (plane ground only)
+        fast_ground_shapes = (sw_shapes if sw_ground else set()) | (
+            nw_shapes if nw_ground else set()
+        )
+        # pairwise rows any fast path owns
+        fast_shapes = sw_shapes | nw_shapes
+
         rows: List[tuple] = []  # (ea, eb, kind, sa, sb, slot)
         WORLD = _Entity(T_STATIC, 0, 0, 0, 0, 0)
 
@@ -172,8 +194,8 @@ class ContactSolver:
         # --- plane / heightfield contacts (all dynamic shapes) ---
         if scene.ground is not None or scene.heightfield is not None:
             for s, e in dyn_shapes:
-                if s in sw_shapes and sw_ground:
-                    continue  # sphere-world path owns this sphere's ground
+                if s in fast_ground_shapes:
+                    continue  # a dense fast path owns this shape's ground
                 k = eff_kind(s)
                 if k == SHAPE_SPHERE:
                     rows.append((e, WORLD, K_SPH_PLANE, s, -1, 0))
@@ -240,8 +262,8 @@ class ContactSolver:
                     and ei.copy == ej.copy
                 ):
                     continue
-                if si in sw_shapes and sj in sw_shapes:
-                    continue  # dense sphere-world path owns this pair
+                if si in fast_shapes and sj in fast_shapes:
+                    continue  # a dense fast path owns this pair
                 if _pair_allowed(scene, si, sj):
                     pairs.append((si, ei, sj, ej))
             for sj, ej in stat_shapes:
@@ -249,8 +271,13 @@ class ContactSolver:
                     pairs.append((si, ei, sj, ej))
         if len(pairs) > max_pair_shapes:
             raise ValueError(
-                f"{len(pairs)} contact pairs exceeds max_pair_shapes; "
-                "hook up the broadphase for this scene size"
+                f"{len(pairs)} static contact pairs exceeds max_pair_shapes="
+                f"{max_pair_shapes}. Large free-body worlds take the dense "
+                "fast paths automatically (pure spheres: ops/sphere_world; "
+                "mixed sphere/box single-shape actors: ops/neighbor_world) — "
+                "this scene's pairs involve articulated links, multi-shape "
+                "actors, or meshes at a scale the static table can't hold. "
+                "Raise max_pair_shapes explicitly if the memory is acceptable."
             )
         # SDF pair directions, appended in ROW ORDER (each entry = one group
         # of _SDF_MANIFOLD K_PT_SDF rows): (grid index, probe array (P,3))
@@ -292,7 +319,9 @@ class ContactSolver:
         self.sdf_data = None
         if not rows:
             self.num_contacts = 0
-            self.enabled = self.sphere_world is not None
+            self.enabled = (
+                self.sphere_world is not None or self.neighbor_world is not None
+            )
             self.link_lists = [
                 (np.zeros(0, np.int32), np.zeros(0, np.int32))
                 for _ in scene.art_groups
@@ -445,6 +474,45 @@ class ContactSolver:
         free_v = free_v.at[:, fidx].set(v1)
         free_w = free_w.at[:, fidx].set(w1)
         cf = zero_cf.at[:, bidx].add(cf_s)
+        return free_v, free_w, cf
+
+    # ------------------------------------------------------------------
+    def _solve_neighbor_world(
+        self, body_pos, body_quat, free_v, free_w, free_m, free_I_w,
+        params, h, cf_base,
+    ):
+        """Neighbor-list solve for the large mixed free-body set (see
+        ops/neighbor_world.py). Runs before the static-table solve."""
+        from ..ops import neighbor_world as _nw
+
+        spec = self.neighbor_world
+        fidx = jnp.asarray(spec.free_idx)
+        sidx = jnp.asarray(spec.shape_idx)
+        bidx = jnp.asarray(spec.body_slot)
+        px = self.scene.sim_params.physx
+        iters = max(6, 2 * px.num_position_iterations) + px.num_velocity_iterations
+        slop = px.rest_offset + px.contact_slop
+        inv_I = binv(free_I_w[:, fidx])
+        v1, w1, cf_s = _nw.solve(
+            spec,
+            body_pos[:, bidx],
+            body_quat[:, bidx],
+            free_v[:, fidx],
+            free_w[:, fidx],
+            params.shape_size[:, sidx],
+            1.0 / free_m[:, fidx],
+            inv_I,
+            params.shape_friction[:, sidx],
+            params.shape_restitution[:, sidx],
+            h,
+            iters,
+            px.contact_offset,
+            slop,
+            px.bounce_threshold_velocity,
+        )
+        free_v = free_v.at[:, fidx].set(v1)
+        free_w = free_w.at[:, fidx].set(w1)
+        cf = cf_base.at[:, bidx].add(cf_s)
         return free_v, free_w, cf
 
     # ------------------------------------------------------------------
@@ -941,6 +1009,11 @@ class ContactSolver:
             free_v, free_w, cf_base = self._solve_sphere_world(
                 body_pos, free_v, free_w, free_m, free_I_w, params, h, zero_cf
             )
+        if self.neighbor_world is not None and free_m is not None:
+            free_v, free_w, cf_base = self._solve_neighbor_world(
+                body_pos, body_quat, free_v, free_w, free_m, free_I_w,
+                params, h, cf_base,
+            )
         if self.num_contacts == 0:
             return free_v, free_w, list(art_qd), cf_base, None
 
@@ -1098,7 +1171,10 @@ class ContactSolver:
         # gripper_sep drops below the object width, franka_cube_ik_osc.py:365)
         slop = px.rest_offset + px.contact_slop
         h_inv = 1.0 / h
-        bias = beta * h_inv * jnp.clip(depth - slop, 0.0, None)
+        bias = jnp.minimum(
+            beta * h_inv * jnp.clip(depth - slop, 0.0, None),
+            px.max_depenetration_velocity,
+        )
 
         def side_vel(v_, w_, qd_, side_ops_sel, fi, mask_f, r_f, vkin, side: _Side):
             """Point velocity of one contact side under current velocities."""
@@ -1177,7 +1253,10 @@ class ContactSolver:
             # warm start: re-apply the previous step's impulses on
             # still-active contacts up front, then refine the deltas —
             # force chains (heavy stacks) keep converging across steps
-            # instead of being rebuilt from zero every substep
+            # instead of being rebuilt from zero every substep. Rebound
+            # energy from stale impulses is bounded by the
+            # max_depenetration_velocity bias cap (without it, deep contacts
+            # plus converged warm impulses become launch-and-bounce cycles).
             lam_n = jnp.where(active, warm[0], 0.0)
             lam_t = jnp.where(active[..., None], warm[1], 0.0)
             warm_imp = lam_n[..., None] * normal + lam_t

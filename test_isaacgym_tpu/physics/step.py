@@ -134,13 +134,22 @@ class Stepper:
         # substep reuses it instead of re-running FK — with the final
         # refresh, 2 link sweeps per step instead of substeps+1.
         first = True
-        warm = None
+        # CROSS-STEP warm starting: persistent per-row contact impulses ride
+        # in SimState (keyed by static contact row), so force chains (heavy
+        # stacks, pinch grasps) keep converging across steps instead of
+        # being rebuilt from zero; separated rows are masked to zero by the
+        # solver's `active` gate on re-entry (decay-on-separation).
+        warm = (
+            (state.warm_n, state.warm_t) if state.warm_n is not None else None
+        )
         for _ in range(self.substeps):
             state, warm = self._substep(
                 state, actions, params, reuse_body_state=first, warm=warm
             )
             first = False
         state = self.refresh_body_state(state, params)
+        if warm is not None and state.warm_n is not None:
+            state = state._replace(warm_n=warm[0], warm_t=warm[1])
         return state._replace(
             time=state.time + self.dt, steps=state.steps + 1
         )

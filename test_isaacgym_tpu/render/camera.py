@@ -53,6 +53,10 @@ class CameraSensor:
     follow_mode: int = FOLLOW_TRANSFORM
     enable_tensors: bool = False
     destroyed: bool = False
+    # optional per-env horizontal fov override (degrees): runtime camera
+    # zoom as ONE camera with an (N,) fov array instead of the reference's
+    # 90-cameras-per-env workaround (test11_servo_vecenv_camerazoom.py:327-335)
+    fov_per_env: Optional[np.ndarray] = None
     # last rendered images (N, H, W, .) — filled by render_all
     color: Optional[np.ndarray] = None
     depth: Optional[np.ndarray] = None
@@ -83,14 +87,14 @@ class CameraSensor:
         self.local_quat = pad(self.local_quat, np.array([0, 0, 0, 1], np.float32))
         self.num_envs = n
 
-    def set_location(self, env_idx: int, eye, target):
+    def set_location(self, env_idx: int, eye, target, up=(0.0, 0.0, 1.0)):
         """Aim the camera at `target` from `eye` (env-local), x-forward with
-        z-up roll reference (gym.set_camera_location)."""
+        the sim's up axis as roll reference (gym.set_camera_location)."""
         self.ensure_envs(env_idx + 1)
         eye = np.asarray(eye, np.float64)
         target = np.asarray(target, np.float64)
         self.pos[env_idx] = eye
-        self.quat[env_idx] = look_at_quat(eye, target)
+        self.quat[env_idx] = look_at_quat(eye, target, up)
         self.body = None
 
     def set_transform(self, env_idx: int, pos, quat):
@@ -98,6 +102,20 @@ class CameraSensor:
         self.pos[env_idx] = np.asarray(pos, np.float32)
         self.quat[env_idx] = np.asarray(quat, np.float32)
         self.body = None
+
+    def set_horizontal_fov(self, env_idx: int, fov_deg: float):
+        """Per-env runtime zoom (fov is a traced array in the renderer)."""
+        if self.fov_per_env is None:
+            self.fov_per_env = np.full(
+                self.num_envs, self.props.horizontal_fov, np.float32
+            )
+        if env_idx >= len(self.fov_per_env):
+            self.fov_per_env = np.concatenate([
+                self.fov_per_env,
+                np.full(env_idx + 1 - len(self.fov_per_env),
+                        self.props.horizontal_fov, np.float32),
+            ])
+        self.fov_per_env[env_idx] = fov_deg
 
     def attach(self, body: int, local_pos, local_quat, follow_mode=FOLLOW_TRANSFORM):
         self.body = int(body)
@@ -137,14 +155,15 @@ class CameraSensor:
         )
 
 
-def look_at_quat(eye, target) -> np.ndarray:
-    """xyzw quat with +x pointing eye->target, +z as up as possible."""
+def look_at_quat(eye, target, up=(0.0, 0.0, 1.0)) -> np.ndarray:
+    """xyzw quat with +x pointing eye->target, `up` as up as possible
+    (pass (0,1,0) under UP_AXIS_Y — test_graphics_up.py semantics)."""
     f = np.asarray(target, np.float64) - np.asarray(eye, np.float64)
     n = np.linalg.norm(f)
     f = f / n if n > 1e-9 else np.array([1.0, 0, 0])
-    up = np.array([0.0, 0.0, 1.0])
+    up = np.asarray(up, np.float64)
     if abs(f @ up) > 0.999:
-        up = np.array([0.0, 1.0, 0.0])
+        up = np.array([0.0, 1.0, 0.0]) if abs(up[2]) > 0.5 else np.array([0.0, 0.0, 1.0])
     left = np.cross(up, f)
     left /= np.linalg.norm(left)
     z = np.cross(f, left)

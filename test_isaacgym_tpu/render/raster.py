@@ -9,10 +9,23 @@ the env axis. Replaces the reference's Vulkan render path
 examples/graphics.py:225-238).
 
 Outputs per camera:
-  color (N, H, W, 4) uint8   — Lambert-shaded albedo, RGBA
+  color (N, H, W, 4) uint8   — Lambert-shaded albedo or sampled texture, RGBA
   depth (N, H, W) float32    — NEGATIVE view-space depth, -inf where no hit
                                (matches graphics.py:225-231 -inf handling)
   seg   (N, H, W) int32      — per-actor segmentation ids (0 = background)
+
+Features beyond v1 (VERDICT r2 item 5):
+  * textures: per-shape texture ids sample a stacked texture atlas with
+    analytic UVs (planar box faces / spherical / cylindrical capsule) —
+    graphics.py:96-122 texture loading + set_rigid_body_texture
+  * hfov is a TRACED per-env array — test11's per-env camera zoom is one
+    camera with an (N,) fov instead of 90 cameras
+    (test11_servo_vecenv_camerazoom.py:409-410)
+  * supersampling (CameraProperties.supersampling_h/v,
+    test02_isaacgym_camera.py:226-235): render at ss*res, box-downsample
+  * coarse bounding-sphere frustum cull: scenes with more shapes than
+    `cull_max` gather the nearest in-frustum shapes per env before the ray
+    loop (1080-ball worlds at small resolutions)
 
 Shape sizes/offsets come from PhysParams so runtime scaling and DR show up in
 images. Meshes render as their bounding boxes (v1, same as collision).
@@ -20,7 +33,7 @@ images. Meshes render as their bounding boxes (v1, same as collision).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,6 +43,7 @@ from ..core.scene import SHAPE_BOX, SHAPE_CAPSULE, SHAPE_MESH, SHAPE_SPHERE, Sce
 from ..math.quat import quat_mul, quat_rotate, quat_rotate_inverse
 
 BIG = 1e30
+TEX_RES = 128  # atlas resolution textures are resampled to
 
 
 class RenderTables(NamedTuple):
@@ -62,6 +76,20 @@ def tables_from_scene(scene: Scene) -> RenderTables:
         color=colors,
         seg=seg,
     )
+
+
+def resample_texture(img: np.ndarray, res: int = TEX_RES) -> np.ndarray:
+    """Nearest-resample an (H, W, 3|4) uint8/float image to (res, res, 3)
+    float32 in [0, 1] for the stacked atlas."""
+    img = np.asarray(img)
+    if img.dtype == np.uint8:
+        img = img.astype(np.float32) / 255.0
+    if img.ndim == 2:
+        img = img[..., None].repeat(3, -1)
+    img = img[..., :3]
+    iy = np.clip((np.arange(res) + 0.5) * img.shape[0] / res, 0, img.shape[0] - 1)
+    ix = np.clip((np.arange(res) + 0.5) * img.shape[1] / res, 0, img.shape[1] - 1)
+    return img[iy.astype(int)][:, ix.astype(int)].astype(np.float32)
 
 
 def _ray_sphere(o, d, c, r):
@@ -108,6 +136,47 @@ def _ray_capsule(o, d, r, hl):
     return jnp.minimum(t_cyl, jnp.minimum(t_top, t_bot))
 
 
+def _shape_uv(p_l, kind, size):
+    """Analytic texture coordinates of a local-frame surface point.
+
+    box/mesh: planar projection on the dominant face; sphere: equirect;
+    capsule: cylindrical. p_l (P, 3), kind (P,), size (P, 3) -> uv (P, 2)."""
+    r = jnp.maximum(size[..., 0], 1e-6)
+    hl = size[..., 1]
+    # sphere: equirectangular
+    u_s = jnp.arctan2(p_l[..., 1], p_l[..., 0]) / (2 * jnp.pi) + 0.5
+    v_s = 0.5 - jnp.arcsin(jnp.clip(p_l[..., 2] / r, -1, 1)) / jnp.pi
+    # box: dominant axis face, project the other two
+    half = jnp.maximum(size, 1e-6)
+    ax = jnp.argmax(jnp.abs(p_l) / half, axis=-1)
+    perm = jnp.asarray([[1, 2], [0, 2], [0, 1]])  # (3, 2) uv axes per face
+    sel = perm[ax]  # (P, 2)
+    pu = jnp.take_along_axis(p_l, sel, axis=-1)
+    hu = jnp.take_along_axis(half, sel, axis=-1)
+    uv_b = pu / (2 * hu) + 0.5
+    # capsule: cylindrical
+    u_c = u_s
+    v_c = (p_l[..., 2] + hl + r) / jnp.maximum(2 * (hl + r), 1e-6)
+    is_sphere = (kind == SHAPE_SPHERE)[..., None]
+    is_cap = (kind == SHAPE_CAPSULE)[..., None]
+    uv = jnp.where(
+        is_sphere,
+        jnp.stack([u_s, v_s], -1),
+        jnp.where(is_cap, jnp.stack([u_c, v_c], -1), uv_b),
+    )
+    return jnp.clip(uv, 0.0, 1.0)
+
+
+def _sample_atlas(tex, tid, uv):
+    """Nearest sample of a stacked (T, R, R, 3) atlas. tid (P,) int (-1 =
+    untextured; callers mask). uv (P, 2) in [0,1]."""
+    R = tex.shape[1]
+    ix = jnp.clip((uv[..., 0] * R).astype(jnp.int32), 0, R - 1)
+    iy = jnp.clip((uv[..., 1] * R).astype(jnp.int32), 0, R - 1)
+    t = jnp.clip(tid, 0, tex.shape[0] - 1)
+    return tex[t, iy, ix]
+
+
 def render_rays(
     origin,  # (3,) world ray origin (camera position), one env
     dirs,  # (P, 3) world ray directions
@@ -122,6 +191,8 @@ def render_rays(
     light_color,  # (3,)
     ambient,  # (3,)
     bg,  # (3,)
+    tex=None,  # (T, R, R, 3) float atlas or None
+    tex_id=None,  # (S,) int, -1 = untextured
 ):
     """Single-env raycast; callers vmap over envs. P = H*W rays."""
     S = shape_pos.shape[0]
@@ -184,6 +255,13 @@ def render_rays(
     n_w = jnp.where(hit_gnd[:, None], jnp.broadcast_to(gn, n_w.shape), n_w)
     n_w = n_w / jnp.linalg.norm(n_w, axis=-1, keepdims=True).clip(1e-9)
 
+    # texture sampling (graphics.py:96-122 / set_rigid_body_texture)
+    if tex is not None and tex_id is not None and tex.shape[0] > 0:
+        tid = tex_id[best]
+        uv = _shape_uv(p_l, kb, ss)
+        t_col = _sample_atlas(tex, tid, uv)
+        c_shape = jnp.where((tid >= 0)[:, None], t_col, c_shape)
+
     albedo = jnp.where(
         hit_gnd[:, None], jnp.array([0.55, 0.55, 0.55]), c_shape
     )
@@ -201,9 +279,10 @@ def render_rays(
 
 
 def camera_rays(props_w, props_h, hfov_deg, quat, dtype=jnp.float32):
-    """Pixel ray directions in WORLD frame. quat (4,) camera orientation.
+    """Pixel ray directions in WORLD frame. quat (4,) camera orientation;
+    hfov_deg may be a traced scalar (per-env zoom — test11:409-410).
     Returns (H*W, 3) and the forward axis (3,)."""
-    t = np.tan(np.deg2rad(hfov_deg) / 2)
+    t = jnp.tan(jnp.deg2rad(jnp.asarray(hfov_deg, dtype)) / 2)
     fx = props_w / 2 / t
     u = jnp.arange(props_w, dtype=dtype) + 0.5 - props_w / 2
     v = jnp.arange(props_h, dtype=dtype) + 0.5 - props_h / 2
@@ -217,7 +296,10 @@ def camera_rays(props_w, props_h, hfov_deg, quat, dtype=jnp.float32):
     return d_w, fwd
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "hfov", "far"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "far", "ss", "cull_max"),
+)
 def render_camera_batch(
     cam_pos,  # (N, 3) world
     cam_quat,  # (N, 4)
@@ -232,34 +314,92 @@ def render_camera_batch(
     light_color,  # (3,)
     ambient,  # (3,)
     bg,  # (3,)
+    hfov=90.0,  # TRACED: scalar or (N,) per-env fov degrees
+    tex=None,  # (T, R, R, 3) atlas (optional)
+    tex_id=None,  # (S,) or (N, S) int, -1 untextured (optional)
     *,
     width: int,
     height: int,
-    hfov: float,
     far: float,
+    ss: int = 1,
+    cull_max: int = 256,
 ):
     """vmapped over envs. Returns (rgba u8 (N,H,W,4), depth f32 (N,H,W),
-    seg i32 (N,H,W)). depth is negative view depth, -inf for no hit."""
+    seg i32 (N,H,W)). depth is negative view depth, -inf for no hit.
+
+    ss > 1 renders at (ss*H, ss*W) and box-downsamples (supersampling_h/v).
+    Scenes with more than cull_max shapes are coarsely culled per env:
+    the cull_max nearest shapes whose bounding sphere overlaps the view
+    cone enter the ray loop."""
     color = jnp.asarray(color)
     per_env_color = color.ndim == 3
+    hfov = jnp.asarray(hfov, jnp.float32)
+    hfov_b = jnp.broadcast_to(hfov, cam_pos.shape[:1])
+    kind = jnp.asarray(kind)
+    seg = jnp.asarray(seg)
+    S = shape_pos_w.shape[1]
+    do_cull = S > cull_max
+    if tex is not None:
+        tex = jnp.asarray(tex, jnp.float32)
+    if tex_id is not None:
+        tex_id = jnp.asarray(tex_id, jnp.int32)
+    per_env_tex = tex_id is not None and tex_id.ndim == 2
+    rw, rh = width * ss, height * ss
 
-    def one(cp, cq, sp, sq, ss, col):
-        dirs, fwd = camera_rays(width, height, hfov, cq)
+    def one(cp, cq, sp, sq, ssize, col, fov, tid):
+        if do_cull:
+            # bounding sphere vs view cone (conservative): keep the
+            # cull_max nearest shapes that can intersect the frustum
+            fwd0 = quat_rotate(cq, jnp.array([1.0, 0, 0], jnp.float32))
+            rel = sp - cp
+            dist = jnp.linalg.norm(rel, axis=-1)
+            rad = jnp.linalg.norm(ssize, axis=-1)
+            along = rel @ fwd0
+            perp = jnp.sqrt(jnp.clip(dist**2 - along**2, 0.0))
+            # half-diagonal of the image plane at unit distance
+            t_half = jnp.tan(jnp.deg2rad(fov) / 2)
+            diag = t_half * jnp.sqrt(1.0 + (height / width) ** 2) + 1e-3
+            visible = (along + rad > 0) & (
+                perp - rad <= jnp.maximum(along, 0.0) * diag + rad
+            )
+            score = jnp.where(visible, dist - rad, BIG)
+            _, keep = jax.lax.top_k(-score, cull_max)
+            sp, sq, ssize = sp[keep], sq[keep], ssize[keep]
+            col_k = col[keep]
+            kind_k, seg_k = kind[keep], seg[keep]
+            tid_k = tid[keep] if tid is not None else None
+        else:
+            col_k, kind_k, seg_k, tid_k = col, kind, seg, tid
+        dirs, fwd = camera_rays(rw, rh, fov, cq)
         rgba, t, hit, seg_img = render_rays(
-            cp, dirs, sp, sq, ss, jnp.asarray(kind), col, jnp.asarray(seg),
+            cp, dirs, sp, sq, ssize, kind_k, col_k, seg_k,
             ground, light_dir, light_color, ambient, bg,
+            tex=tex, tex_id=tid_k,
         )
         zdepth = t * (dirs @ fwd)
         depth = jnp.where(hit & (t < far), -zdepth, -jnp.inf)
+        rgba = rgba.reshape(rh, rw, 4)
+        depth = depth.reshape(rh, rw)
+        seg_img = seg_img.reshape(rh, rw)
+        if ss > 1:  # box filter downsample
+            rgba = rgba.reshape(height, ss, width, ss, 4).mean((1, 3))
+            depth = depth.reshape(height, ss, width, ss).max((1, 3))
+            seg_img = seg_img.reshape(height, ss, width, ss)[:, 0, :, 0]
         return (
-            (rgba.reshape(height, width, 4) * 255).astype(jnp.uint8),
-            depth.reshape(height, width).astype(jnp.float32),
-            seg_img.reshape(height, width).astype(jnp.int32),
+            (rgba * 255).astype(jnp.uint8),
+            depth.astype(jnp.float32),
+            seg_img.astype(jnp.int32),
         )
 
-    in_axes = (0, 0, 0, 0, 0, 0 if per_env_color else None)
+    in_axes = (
+        0, 0, 0, 0, 0,
+        0 if per_env_color else None,
+        0,
+        0 if per_env_tex else None,
+    )
     return jax.vmap(one, in_axes=in_axes)(
-        cam_pos, cam_quat, shape_pos_w, shape_quat_w, shape_size, color
+        cam_pos, cam_quat, shape_pos_w, shape_quat_w, shape_size, color,
+        hfov_b, tex_id,
     )
 
 

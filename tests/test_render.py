@@ -1,0 +1,140 @@
+"""Renderer round-out (VERDICT r2 item 5): texture sampling, per-env runtime
+FOV, supersampling, and the coarse frustum cull.
+
+Reference behaviors: texture load + per-body assignment
+(/root/reference/examples/graphics.py:96-122,185-196), per-env camera zoom
+(test11_servo_vecenv_camerazoom.py:327-335,409-410), supersampling props
+(test/test02_isaacgym_camera.py:226-235), big scenes (test08.py:281-284).
+"""
+import numpy as np
+import pytest
+
+import test_isaacgym_tpu  # noqa: F401  (forces CPU platform before jax init)
+from test_isaacgym_tpu import gymapi
+
+
+@pytest.fixture
+def gym():
+    return gymapi.acquire_gym()
+
+
+def _ball_scene(gym, num_envs=2, z=1.0, radius=0.2):
+    sim = gym.create_sim(0, 0, gymapi.SIM_PHYSX, gymapi.SimParams())
+    gym.add_ground(sim, gymapi.PlaneParams())
+    opts = gymapi.AssetOptions()
+    opts.density = 100.0
+    ball = gym.create_sphere(sim, radius, opts)
+    envs = []
+    for i in range(num_envs):
+        env = gym.create_env(sim, gymapi.Vec3(-1, -1, 0), gymapi.Vec3(1, 1, 2), 2)
+        gym.create_actor(env, ball, gymapi.Transform(gymapi.Vec3(0, 0, z)), "ball", i, 0)
+        envs.append(env)
+    return sim, envs
+
+
+def test_texture_sampling(gym):
+    """A red/blue checker texture must show BOTH colors in the rendered
+    image of the textured env and neither in the untextured one."""
+    sim, envs = _ball_scene(gym, num_envs=2)
+    # checker: left half red, right half blue
+    buf = np.zeros((8, 8, 4), np.uint8)
+    buf[:, :4] = [255, 30, 30, 255]
+    buf[:, 4:] = [30, 30, 255, 255]
+    tex = gym.create_texture_from_buffer(sim, 8, 8, buf)
+    gym.set_rigid_body_texture(envs[0], 0, 0, 0, tex)
+    cams = []
+    for env in envs:
+        cam = gym.create_camera_sensor(
+            env, gymapi.CameraProperties(width=64, height=48)
+        )
+        gym.set_camera_location(cam, env, gymapi.Vec3(1.0, 0, 1), gymapi.Vec3(0, 0, 1))
+        cams.append(cam)
+    gym.render_all_camera_sensors(sim)
+    img0 = gym.get_camera_image(sim, envs[0], cams[0], gymapi.IMAGE_COLOR)
+    img0 = img0.reshape(48, 64, 4).astype(np.int32)
+    img1 = gym.get_camera_image(sim, envs[1], cams[0], gymapi.IMAGE_COLOR)
+    img1 = img1.reshape(48, 64, 4).astype(np.int32)
+    reddish = (img0[..., 0] > img0[..., 2] + 40).sum()
+    bluish = (img0[..., 2] > img0[..., 0] + 40).sum()
+    assert reddish > 20 and bluish > 20, (reddish, bluish)
+    # untextured env: the ball region stays gray (R ~ B); mask via depth
+    # (sky/ground pixels are legitimately tinted)
+    d1 = np.asarray(gym.get_camera_image(sim, envs[1], cams[1], gymapi.IMAGE_DEPTH))
+    ball = np.isfinite(d1) & (d1 > -1.2)  # ball face ~0.8m from the camera
+    assert ball.sum() > 50
+    assert (np.abs(img1[..., 0] - img1[..., 2])[ball] > 40).sum() == 0
+
+
+def test_per_env_fov_zoom(gym):
+    """set_camera_horizontal_fov zooms one env: the ball covers MORE pixels
+    at 20 deg than at the default 90 deg (test11's zoom semantics)."""
+    sim, envs = _ball_scene(gym, num_envs=2)
+    for i, env in enumerate(envs):
+        gym.set_rigid_body_segmentation_id(env, 0, 0, 7)
+    cam = gym.create_camera_sensor(
+        envs[0], gymapi.CameraProperties(width=64, height=48)
+    )
+    for env in envs:
+        gym.set_camera_location(cam, env, gymapi.Vec3(2, 0, 1), gymapi.Vec3(0, 0, 1))
+    gym.set_camera_horizontal_fov(cam, envs[1], 20.0)
+    gym.render_all_camera_sensors(sim)
+    seg0 = gym.get_camera_image(sim, envs[0], cam, gymapi.IMAGE_SEGMENTATION)
+    seg1 = gym.get_camera_image(sim, envs[1], cam, gymapi.IMAGE_SEGMENTATION)
+    n0 = (np.asarray(seg0) == 7).sum()
+    n1 = (np.asarray(seg1) == 7).sum()
+    assert n0 > 3 and n1 > 3 * n0, (n0, n1)
+
+
+def test_supersampling_smooths_edges(gym):
+    """supersampling_horizontal/vertical=4 must produce intermediate edge
+    colors (anti-aliasing) that the 1x render lacks."""
+    sim, envs = _ball_scene(gym, num_envs=1)
+    p1 = gymapi.CameraProperties(width=48, height=36)
+    p4 = gymapi.CameraProperties(
+        width=48, height=36, supersampling_horizontal=4, supersampling_vertical=4
+    )
+    c1 = gym.create_camera_sensor(envs[0], p1)
+    c4 = gym.create_camera_sensor(envs[0], p4)
+    for c in (c1, c4):
+        gym.set_camera_location(c, envs[0], gymapi.Vec3(2, 0, 1), gymapi.Vec3(0, 0, 1))
+    gym.render_all_camera_sensors(sim)
+    i1 = gym.get_camera_image(sim, envs[0], c1, gymapi.IMAGE_COLOR).reshape(36, 48, 4)
+    i4 = gym.get_camera_image(sim, envs[0], c4, gymapi.IMAGE_COLOR).reshape(36, 48, 4)
+    assert i1.shape == i4.shape
+    # 4x supersampling produces strictly more distinct shades along edges
+    assert len(np.unique(i4[..., 0])) > len(np.unique(i1[..., 0]))
+
+
+def test_frustum_cull_matches_uncull():
+    """A >256-shape scene rendered with the cull must match the unculled
+    image exactly (the cull is conservative)."""
+    import jax.numpy as jnp
+
+    from test_isaacgym_tpu.render.raster import render_camera_batch
+
+    rng = np.random.RandomState(0)
+    S = 400
+    sp = rng.uniform(-5, 5, (1, S, 3)).astype(np.float32)
+    sp[..., 2] = rng.uniform(0.2, 3, (1, S))
+    # put 220 shapes BEHIND the camera (culled; <=180 visible < cull_max)
+    sp[0, 180:, 0] = rng.uniform(12.0, 20.0, 220)
+    sq = np.tile(np.array([0, 0, 0, 1], np.float32), (1, S, 1))
+    ssz = np.tile(np.array([0.15, 0.0, 0.0], np.float32), (1, S, 1))
+    kind = np.zeros(S, np.int32)  # spheres
+    color = rng.uniform(0.2, 0.9, (S, 3)).astype(np.float32)
+    seg = np.arange(1, S + 1, dtype=np.int32)
+    ground = np.array([0, 0, 1, 0], np.float32)
+    cam_pos = np.array([[8.0, 0, 2]], np.float32)
+    cam_quat = np.array([[0, 0, 1, 0]], np.float32)  # yaw 180: look -x
+    args = (
+        cam_pos, cam_quat, sp, sq, ssz, kind, color, seg, ground,
+        np.array([0.3, 0.3, -0.9], np.float32) / np.linalg.norm([0.3, 0.3, 0.9]),
+        np.ones(3, np.float32) * 0.8,
+        np.ones(3, np.float32) * 0.2,
+        np.array([0.3, 0.4, 0.6], np.float32),
+        60.0,
+    )
+    full = render_camera_batch(*args, width=64, height=48, far=100.0, cull_max=512)
+    culled = render_camera_batch(*args, width=64, height=48, far=100.0, cull_max=256)
+    np.testing.assert_array_equal(np.asarray(full[0]), np.asarray(culled[0]))
+    np.testing.assert_array_equal(np.asarray(full[2]), np.asarray(culled[2]))
