@@ -24,11 +24,26 @@ suite re-execs onto CPU, so this is where TPU kernels get checked).
 """
 import argparse
 import json
+import os
 import sys
 import time
 import traceback
 
 sys.path.insert(0, "/root/repo")
+
+
+def _enable_compile_cache():
+    """Persistent XLA compile cache: the axon remote-compile service has
+    slow phases (minutes per program); a warm cache makes repeat bench runs
+    immune to them."""
+    import jax
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001
+        pass
 
 
 def _bench_franka(num_envs, steps):
@@ -171,6 +186,7 @@ def main():
         help="run the TPU correctness lane instead of timing",
     )
     args = ap.parse_args()
+    _enable_compile_cache()
     if args.verify:
         sys.exit(_verify())
     if args.smoke:

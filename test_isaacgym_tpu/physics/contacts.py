@@ -518,11 +518,19 @@ class ContactSolver:
     # ------------------------------------------------------------------
     def narrowphase(self, body_pos, body_quat, params):
         """(point, normal(b->a), depth, active) for every candidate contact,
-        given CURRENT body poses (N, B, 3/4)."""
+        given CURRENT body poses (N, B, 3/4).
+
+        Each contact KIND computes only over its own STATIC row subset and
+        scatters results into the (N, C) tables — a scene with no capsules
+        pays nothing for the capsule kinds, and the box-box SAT runs over
+        its 17 rows instead of all C (the all-rows form was ~half the
+        franka_cube narrowphase cost)."""
         job = self.job
         sh = self.scene.shapes
         N = body_pos.shape[0]
         C = self.num_contacts
+        kind = job.kind
+        slot = job.slot
 
         def shape_pose(s_arr):
             s_np = np.asarray(s_arr)
@@ -539,7 +547,6 @@ class ContactSolver:
 
         size_a = params.shape_size[:, jnp.asarray(job.shape_a)]
         size_b = params.shape_size[:, jnp.asarray(sb_safe)]
-        kind = job.kind
 
         point = jnp.zeros((N, C, 3), body_pos.dtype)
         normal = jnp.zeros((N, C, 3), body_pos.dtype)
@@ -556,208 +563,250 @@ class ContactSolver:
                 d = jnp.einsum("...k,k->...", p, pn) - pd
                 return d, jnp.broadcast_to(pn, p.shape)
 
-        r_a = size_a[..., 0]
-        hl_a = size_a[..., 1]
-        r_b = size_b[..., 0]
+        def rows(*codes):
+            m = np.isin(kind, codes)
+            return np.nonzero(m)[0]
 
-        # sphere-plane/terrain
-        d_sp, n_sp = ground_sdf(pa)
-        pt_sp = pa - n_sp * r_a[..., None]
-        dep_sp = r_a - d_sp
+        # narrowphase results accumulate host-side and land in the (N, C)
+        # tables via ONE scatter per array — per-kind scatters made XLA:TPU
+        # compile time blow up (dozens of scatter ops over the same buffers)
+        acc = []
 
-        # capsule-plane: endpoint spheres along local z
-        zdir = quat_rotate(qa, jnp.array([0.0, 0, 1.0]))
-        end_sign = jnp.asarray(np.where(self.job.slot == 0, 1.0, -1.0), jnp.float32)
-        cap_end = pa + zdir * (hl_a * end_sign)[..., None]
-        d_cp, n_cp = ground_sdf(cap_end)
-        pt_cp = cap_end - n_cp * r_a[..., None]
-        dep_cp = r_a - d_cp
+        def put(i, pt, n, dep):
+            acc.append((np.asarray(i), pt, n, dep))
 
-        # box-plane: corners
-        corners = jnp.asarray(_BOX_CORNERS)[job.slot]  # (C, 3)
-        corner_w = pa + quat_rotate(qa, corners * size_a)
-        d_bp, n_bp = ground_sdf(corner_w)
-        dep_bp = -d_bp
+        # capsule local z (shared by the capsule kinds)
+        def cap_axis(q_, i):
+            return quat_rotate(q_[:, i], jnp.array([0.0, 0, 1.0]))
 
-        # sphere-sphere
-        dvec = pa - pb
-        dist = jnp.linalg.norm(dvec, axis=-1).clip(1e-9)
-        n_ss = dvec / dist[..., None]
-        dep_ss = (r_a + r_b) - dist
-        pt_ss = pb + n_ss * r_b[..., None]
+        # ---- sphere-plane/terrain ----
+        i = rows(K_SPH_PLANE)
+        if len(i):
+            r = size_a[:, i, 0]
+            d, n = ground_sdf(pa[:, i])
+            put(i, pa[:, i] - n * r[..., None], n, r - d)
 
-        # sphere-box: closest point on box b to center a
-        rel = quat_rotate(_qconj(qb), pa - pb)
-        clamped = jnp.clip(rel, -size_b, size_b)
-        inside = jnp.all(jnp.abs(rel) <= size_b, axis=-1)
-        pen_ax = size_b - jnp.abs(rel)
-        ax = jnp.argmin(pen_ax, axis=-1)
-        sgn = jnp.sign(jnp.take_along_axis(rel, ax[..., None], -1))
-        surf = jnp.where(
-            inside[..., None],
-            _scatter_axis(clamped, ax, sgn[..., 0] * jnp.take_along_axis(size_b, ax[..., None], -1)[..., 0]),
-            clamped,
-        )
-        cp_w = pb + quat_rotate(qb, surf)
-        dvec_sb = pa - cp_w
-        dist_sb = jnp.linalg.norm(dvec_sb, axis=-1).clip(1e-9)
-        n_sb = jnp.where(
-            inside[..., None],
-            quat_rotate(qb, _axis_vec(ax, sgn[..., 0])),
-            dvec_sb / dist_sb[..., None],
-        )
-        dep_sb = jnp.where(inside, r_a + dist_sb, r_a - dist_sb)
-        pt_sb = cp_w
-
-        # sphere-capsule: closest point on capsule-b segment to a
-        zb = quat_rotate(qb, jnp.array([0.0, 0, 1.0]))
-        hl_b = size_b[..., 1]
-        t = jnp.clip(jnp.einsum("nck,nck->nc", pa - pb, zb), -hl_b, hl_b)
-        seg = pb + zb * t[..., None]
-        dvec_sc = pa - seg
-        dist_sc = jnp.linalg.norm(dvec_sc, axis=-1).clip(1e-9)
-        n_sc = dvec_sc / dist_sc[..., None]
-        dep_sc = (r_a + r_b) - dist_sc
-        pt_sc = seg + n_sc * r_b[..., None]
-
-        # capsule-capsule: segment-segment closest points
-        za = zdir
-        a0 = pa - za * hl_a[..., None]
-        a1 = pa + za * hl_a[..., None]
-        b0 = pb - zb * hl_b[..., None]
-        b1 = pb + zb * hl_b[..., None]
-        pA, pB = _segment_closest(a0, a1, b0, b1)
-        dvec_cc = pA - pB
-        dist_cc = jnp.linalg.norm(dvec_cc, axis=-1).clip(1e-9)
-        n_cc = dvec_cc / dist_cc[..., None]
-        dep_cc = (r_a + r_b) - dist_cc
-        pt_cc = pB + n_cc * r_b[..., None]
-
-        # capsule-box: endpoint spheres of capsule a vs box b
-        cap_pt = pa + za * (hl_a * end_sign)[..., None]
-        rel_cb = quat_rotate(_qconj(qb), cap_pt - pb)
-        cl_cb = jnp.clip(rel_cb, -size_b, size_b)
-        cp_cb = pb + quat_rotate(qb, cl_cb)
-        dv_cb = cap_pt - cp_cb
-        dist_cb = jnp.linalg.norm(dv_cb, axis=-1).clip(1e-9)
-        n_cb = dv_cb / dist_cb[..., None]
-        dep_cb = r_a - dist_cb
-        pt_cb = cp_cb
-
-        # box-box: PAIR-LEVEL face SAT picks the minimum-penetration face
-        # axis, then the incident box's vertices build the manifold against
-        # that face. (Per-vertex min-pen axes break exactly-aligned stacks:
-        # corners lie ON the lateral faces with pen=0 and boxes fall through
-        # — /root/reference/examples/large_mass_ratio.py stacks.)
-        from ..math.quat import quat_to_matrix as _q2m
-
-        Ra_bb = _q2m(qa)  # (N, C, 3, 3) columns = box axes
-        Rb_bb = _q2m(qb)
-        d_ab = pb - pa
-        big = jnp.asarray(1e9, pa.dtype)
-
-        def face_sat(R_ref):
-            """Best (max-separation) face axis among one box's 3 axes."""
-            bs = jnp.full(pa.shape[:-1], -big)
-            bn = jnp.zeros_like(pa)
-            bk = jnp.zeros(pa.shape[:-1], jnp.int32)
-            for k in range(3):
-                ax = R_ref[..., :, k]
-                proj_a = sum(
-                    jnp.abs(jnp.einsum("...k,...k->...", ax, Ra_bb[..., :, q]))
-                    * size_a[..., q]
-                    for q in range(3)
-                )
-                proj_b = sum(
-                    jnp.abs(jnp.einsum("...k,...k->...", ax, Rb_bb[..., :, q]))
-                    * size_b[..., q]
-                    for q in range(3)
-                )
-                dist = jnp.einsum("...k,...k->...", ax, d_ab)
-                sep = jnp.abs(dist) - (proj_a + proj_b)
-                better = sep > bs
-                bs = jnp.where(better, sep, bs)
-                # d_ab points a -> b; flip to get the b -> a direction
-                n_dir = ax * jnp.where(dist > 0, -1.0, 1.0)[..., None]
-                bn = jnp.where(better[..., None], n_dir, bn)
-                bk = jnp.where(better, k, bk)
-            return bs, bn, bk
-
-        sep_fa, n_fa, k_fa = face_sat(Ra_bb)  # a's faces (verts of b incident)
-        sep_fb, n_fb, k_fb = face_sat(Rb_bb)  # b's faces (verts of a incident)
-        face_best = jnp.maximum(sep_fa, sep_fb)
-
-        bb_sign = self.job.slot < 8  # slots 0-7: verts of a; 8-15: verts of b
-        corn_idx = np.where(self.job.slot < 8, self.job.slot, self.job.slot - 8)
-        corn = jnp.asarray(_BOX_CORNERS)[corn_idx]
-        va_w = pa + quat_rotate(qa, corn * size_a)
-        vb_w = pb + quat_rotate(qb, corn * size_b)
-        is_av = jnp.asarray(bb_sign)[None, :]
-        vtx_w = jnp.where(is_av[..., None], va_w, vb_w)
-        # reference box = the OTHER box (whose face the vertex hits)
-        ref_p = jnp.where(is_av[..., None], pb, pa)
-        ref_q = jnp.where(is_av[..., None], qb, qa)
-        ref_size = jnp.where(is_av[..., None], size_b, size_a)
-        ref_k = jnp.where(is_av, k_fb, k_fa)
-        ref_n = jnp.where(is_av[..., None], n_fb, n_fa)
-        ref_sep = jnp.where(is_av, sep_fb, sep_fa)
-        # a vertex set is incident when ITS reference face axis ties for the
-        # overall minimum-penetration face (both sets fire for aligned
-        # equal-size faces; lateral containment picks the real ones — a
-        # small box on a wide platform keeps its own corners, not the
-        # platform's)
-        incident = ref_sep >= face_best - 1e-5
-        rel_bb = quat_rotate(_qconj(ref_q), vtx_w - ref_p)
-        pen_ax_bb = ref_size - jnp.abs(rel_bb)  # (N, C, 3)
-        dep_face = jnp.take_along_axis(pen_ax_bb, ref_k[..., None], -1)[..., 0]
-        # lateral containment within the face rectangle (+offset margin):
-        # the two non-face axes must also be within the box's extent
-        off = self.scene.sim_params.physx.contact_offset
-        n_within = jnp.sum((pen_ax_bb > -off).astype(jnp.int32), axis=-1)
-        lat_ok = (n_within - (dep_face > -off).astype(jnp.int32)) >= 2
-        dep_bb = jnp.where(incident & lat_ok, dep_face, -1.0)
-        n_bb = ref_n
-        pt_bb = vtx_w
-
-        # box-box deepest edge-edge pair (SAT over the 9 cross axes)
-        pt_ee, n_ee, dep_ee = _box_box_edge(pa, qa, size_a, pb, qb, size_b)
-
-        def sel(code, pt, n, dep):
-            mask = jnp.asarray(kind == code)
-            return (
-                jnp.where(mask[None, :, None], pt, point),
-                jnp.where(mask[None, :, None], n, normal),
-                jnp.where(mask[None, :], dep, depth),
+        # ---- capsule-plane: endpoint spheres along local z ----
+        i = rows(K_CAP_PLANE)
+        if len(i):
+            r = size_a[:, i, 0]
+            hl = size_a[:, i, 1]
+            end_sign = jnp.asarray(
+                np.where(slot[i] == 0, 1.0, -1.0), jnp.float32
             )
+            endp = pa[:, i] + cap_axis(qa, i) * (hl * end_sign)[..., None]
+            d, n = ground_sdf(endp)
+            put(i, endp - n * r[..., None], n, r - d)
 
-        point, normal, depth = sel(K_SPH_PLANE, pt_sp, n_sp, dep_sp)
-        point, normal, depth = sel(K_CAP_PLANE, pt_cp, n_cp, dep_cp)
-        point, normal, depth = sel(K_BOX_PLANE, corner_w, n_bp, dep_bp)
-        point, normal, depth = sel(K_SPH_SPH, pt_ss, n_ss, dep_ss)
-        point, normal, depth = sel(K_SPH_BOX, pt_sb, n_sb, dep_sb)
-        point, normal, depth = sel(K_SPH_CAP, pt_sc, n_sc, dep_sc)
-        point, normal, depth = sel(K_CAP_CAP, pt_cc, n_cc, dep_cc)
-        point, normal, depth = sel(K_CAP_BOX, pt_cb, n_cb, dep_cb)
-        point, normal, depth = sel(K_BOX_BOX, pt_bb, n_bb, dep_bb)
-        point, normal, depth = sel(K_BOX_BOX_EDGE, pt_ee, n_ee, dep_ee)
+        # ---- box-plane: corners ----
+        i = rows(K_BOX_PLANE)
+        if len(i):
+            corners = jnp.asarray(_BOX_CORNERS)[slot[i]]  # (P, 3)
+            cw = pa[:, i] + quat_rotate(qa[:, i], corners * size_a[:, i])
+            d, n = ground_sdf(cw)
+            put(i, cw, n, -d)
+
+        # ---- sphere-sphere ----
+        i = rows(K_SPH_SPH)
+        if len(i):
+            r_a, r_b = size_a[:, i, 0], size_b[:, i, 0]
+            dvec = pa[:, i] - pb[:, i]
+            dist = jnp.linalg.norm(dvec, axis=-1).clip(1e-9)
+            n = dvec / dist[..., None]
+            put(i, pb[:, i] + n * r_b[..., None], n, (r_a + r_b) - dist)
+
+        def point_vs_box(pt_w, i, r):
+            """Sphere(-like) point vs box(b) rows i: (pt, n, dep)."""
+            szb = size_b[:, i]
+            rel = quat_rotate(_qconj(qb[:, i]), pt_w - pb[:, i])
+            clamped = jnp.clip(rel, -szb, szb)
+            inside = jnp.all(jnp.abs(rel) <= szb, axis=-1)
+            pen_ax = szb - jnp.abs(rel)
+            ax = jnp.argmin(pen_ax, axis=-1)
+            sgn = jnp.sign(jnp.take_along_axis(rel, ax[..., None], -1))
+            surf = jnp.where(
+                inside[..., None],
+                _scatter_axis(
+                    clamped, ax,
+                    sgn[..., 0] * jnp.take_along_axis(szb, ax[..., None], -1)[..., 0],
+                ),
+                clamped,
+            )
+            cp_w = pb[:, i] + quat_rotate(qb[:, i], surf)
+            dvec = pt_w - cp_w
+            dist = jnp.linalg.norm(dvec, axis=-1).clip(1e-9)
+            n = jnp.where(
+                inside[..., None],
+                quat_rotate(qb[:, i], _axis_vec(ax, sgn[..., 0])),
+                dvec / dist[..., None],
+            )
+            dep = jnp.where(inside, r + dist, r - dist)
+            return cp_w, n, dep
+
+        # ---- sphere-box ----
+        i = rows(K_SPH_BOX)
+        if len(i):
+            pt, n, dep = point_vs_box(pa[:, i], i, size_a[:, i, 0])
+            put(i, pt, n, dep)
+
+        # ---- sphere-capsule: closest point on capsule-b segment ----
+        i = rows(K_SPH_CAP)
+        if len(i):
+            r_a = size_a[:, i, 0]
+            r_b = size_b[:, i, 0]
+            hl_b = size_b[:, i, 1]
+            zb = cap_axis(qb, i)
+            t = jnp.clip(
+                jnp.einsum("npk,npk->np", pa[:, i] - pb[:, i], zb), -hl_b, hl_b
+            )
+            seg = pb[:, i] + zb * t[..., None]
+            dvec = pa[:, i] - seg
+            dist = jnp.linalg.norm(dvec, axis=-1).clip(1e-9)
+            n = dvec / dist[..., None]
+            put(i, seg + n * r_b[..., None], n, (r_a + r_b) - dist)
+
+        # ---- capsule-capsule: segment-segment closest points ----
+        i = rows(K_CAP_CAP)
+        if len(i):
+            r_a, hl_a = size_a[:, i, 0], size_a[:, i, 1]
+            r_b, hl_b = size_b[:, i, 0], size_b[:, i, 1]
+            za, zb = cap_axis(qa, i), cap_axis(qb, i)
+            a0 = pa[:, i] - za * hl_a[..., None]
+            a1 = pa[:, i] + za * hl_a[..., None]
+            b0 = pb[:, i] - zb * hl_b[..., None]
+            b1 = pb[:, i] + zb * hl_b[..., None]
+            pA, pB = _segment_closest(a0, a1, b0, b1)
+            dvec = pA - pB
+            dist = jnp.linalg.norm(dvec, axis=-1).clip(1e-9)
+            n = dvec / dist[..., None]
+            put(i, pB + n * r_b[..., None], n, (r_a + r_b) - dist)
+
+        # ---- capsule-box: endpoint spheres of capsule a vs box b ----
+        i = rows(K_CAP_BOX)
+        if len(i):
+            r_a, hl_a = size_a[:, i, 0], size_a[:, i, 1]
+            end_sign = jnp.asarray(
+                np.where(slot[i] == 0, 1.0, -1.0), jnp.float32
+            )
+            cap_pt = pa[:, i] + cap_axis(qa, i) * (hl_a * end_sign)[..., None]
+            szb = size_b[:, i]
+            rel = quat_rotate(_qconj(qb[:, i]), cap_pt - pb[:, i])
+            cl = jnp.clip(rel, -szb, szb)
+            cp = pb[:, i] + quat_rotate(qb[:, i], cl)
+            dv = cap_pt - cp
+            dist = jnp.linalg.norm(dv, axis=-1).clip(1e-9)
+            put(i, cp, dv / dist[..., None], r_a - dist)
+
+        # ---- box-box: PAIR-LEVEL face SAT manifold (16 vertex rows) plus
+        # the deepest edge-edge pair (1 row). Per-vertex min-pen axes break
+        # exactly-aligned stacks (large_mass_ratio.py). ----
+        i = rows(K_BOX_BOX)
+        if len(i):
+            from ..math.quat import quat_to_matrix as _q2m
+
+            pa_i, qa_i, pb_i, qb_i = pa[:, i], qa[:, i], pb[:, i], qb[:, i]
+            sza, szb = size_a[:, i], size_b[:, i]
+            Ra = _q2m(qa_i)  # (N, P, 3, 3) columns = axes
+            Rb = _q2m(qb_i)
+            d_ab = pb_i - pa_i
+            big = jnp.asarray(1e9, pa.dtype)
+
+            def face_sat(R_ref):
+                bs = jnp.full(pa_i.shape[:-1], -big)
+                bn = jnp.zeros_like(pa_i)
+                bk = jnp.zeros(pa_i.shape[:-1], jnp.int32)
+                for k in range(3):
+                    ax = R_ref[..., :, k]
+                    proj_a = sum(
+                        jnp.abs(jnp.einsum("...k,...k->...", ax, Ra[..., :, q]))
+                        * sza[..., q]
+                        for q in range(3)
+                    )
+                    proj_b = sum(
+                        jnp.abs(jnp.einsum("...k,...k->...", ax, Rb[..., :, q]))
+                        * szb[..., q]
+                        for q in range(3)
+                    )
+                    dist = jnp.einsum("...k,...k->...", ax, d_ab)
+                    sep = jnp.abs(dist) - (proj_a + proj_b)
+                    better = sep > bs
+                    bs = jnp.where(better, sep, bs)
+                    n_dir = ax * jnp.where(dist > 0, -1.0, 1.0)[..., None]
+                    bn = jnp.where(better[..., None], n_dir, bn)
+                    bk = jnp.where(better, k, bk)
+                return bs, bn, bk
+
+            sep_fa, n_fa, k_fa = face_sat(Ra)
+            sep_fb, n_fb, k_fb = face_sat(Rb)
+            face_best = jnp.maximum(sep_fa, sep_fb)
+
+            bb_sign = slot[i] < 8  # slots 0-7: verts of a; 8-15: verts of b
+            corn_idx = np.where(bb_sign, slot[i], slot[i] - 8)
+            corn = jnp.asarray(_BOX_CORNERS)[corn_idx]
+            va_w = pa_i + quat_rotate(qa_i, corn * sza)
+            vb_w = pb_i + quat_rotate(qb_i, corn * szb)
+            is_av = jnp.asarray(bb_sign)[None, :]
+            vtx_w = jnp.where(is_av[..., None], va_w, vb_w)
+            ref_p = jnp.where(is_av[..., None], pb_i, pa_i)
+            ref_q = jnp.where(is_av[..., None], qb_i, qa_i)
+            ref_size = jnp.where(is_av[..., None], szb, sza)
+            ref_k = jnp.where(is_av, k_fb, k_fa)
+            ref_n = jnp.where(is_av[..., None], n_fb, n_fa)
+            ref_sep = jnp.where(is_av, sep_fb, sep_fa)
+            incident = ref_sep >= face_best - 1e-5
+            rel_bb = quat_rotate(_qconj(ref_q), vtx_w - ref_p)
+            pen_ax_bb = ref_size - jnp.abs(rel_bb)  # (N, P, 3)
+            dep_face = jnp.take_along_axis(pen_ax_bb, ref_k[..., None], -1)[..., 0]
+            off = self.scene.sim_params.physx.contact_offset
+            n_within = jnp.sum((pen_ax_bb > -off).astype(jnp.int32), axis=-1)
+            lat_ok = (n_within - (dep_face > -off).astype(jnp.int32)) >= 2
+            dep_bb = jnp.where(incident & lat_ok, dep_face, -1.0)
+            put(i, vtx_w, ref_n, dep_bb)
+
+        i = rows(K_BOX_BOX_EDGE)
+        if len(i):
+            pt_ee, n_ee, dep_ee = _box_box_edge(
+                pa[:, i], qa[:, i], size_a[:, i], pb[:, i], qb[:, i], size_b[:, i]
+            )
+            put(i, pt_ee, n_ee, dep_ee)
+
+        # capsule z-axes for the hull path (subset-computed there)
+        zdir = None
 
         if self.hull_verts is not None:
-            point, normal, depth = self._hull_narrowphase(
-                point, normal, depth,
-                pa, qa, pb, qb, size_a, size_b, zdir, ground_sdf, params,
+            hull_cap = rows(K_CAP_HULL)
+            if len(hull_cap):
+                zdir = jnp.zeros((N, C, 3), body_pos.dtype)
+                zdir = zdir.at[:, hull_cap].set(cap_axis(qa, hull_cap))
+            self._hull_narrowphase(
+                put, pa, qa, pb, qb, size_a, size_b, zdir, ground_sdf, params,
             )
 
         if self.sdf_data is not None:
-            point, normal, depth = self._sdf_narrowphase(
-                point, normal, depth, pa, qa, pb, qb, size_a, size_b
-            )
+            self._sdf_narrowphase(put, pa, qa, pb, qb, size_a, size_b)
+
+        if acc:
+            idx = np.concatenate([a[0] for a in acc])
+            if len(idx) == C and len(np.unique(idx)) == C:
+                # every row produced exactly once: assemble with ONE static
+                # inverse-permutation gather (scatters are XLA:TPU compile
+                # poison at this op count)
+                inv = np.empty(C, np.int64)
+                inv[idx] = np.arange(C)
+                point = jnp.concatenate([a[1] for a in acc], 1)[:, inv]
+                normal = jnp.concatenate([a[2] for a in acc], 1)[:, inv]
+                depth = jnp.concatenate([a[3] for a in acc], 1)[:, inv]
+            else:  # partial coverage (defensive)
+                point = point.at[:, idx].set(jnp.concatenate([a[1] for a in acc], 1))
+                normal = normal.at[:, idx].set(jnp.concatenate([a[2] for a in acc], 1))
+                depth = depth.at[:, idx].set(jnp.concatenate([a[3] for a in acc], 1))
 
         active = depth > -self.scene.sim_params.physx.contact_offset
         return point, normal, depth, active
 
     # ------------------------------------------------------------------
     def _sdf_narrowphase(
-        self, point, normal, depth, pa, qa, pb, qb, size_a, size_b
+        self, put, pa, qa, pb, qb, size_a, size_b
     ):
         """Probe-vs-SDF contacts (SURVEY.md N9, nut-bolt threading —
         /root/reference/examples/franka_nut_bolt_ik_osc.py:215-236).
@@ -771,7 +820,7 @@ class ContactSolver:
         sh = self.scene.shapes
         i0 = np.nonzero((job.kind == K_PT_SDF) & (job.slot == 0))[0]
         if not len(i0):
-            return point, normal, depth
+            return
         M = _SDF_MANIFOLD
         sa = np.asarray(job.shape_a)[i0]
         sb = np.asarray(job.shape_b)[i0]
@@ -798,15 +847,19 @@ class ContactSolver:
         gi = jnp.broadcast_to(ti[..., None], ti.shape + (3,))
         pts = jnp.take_along_axis(w, gi, -2)
         nrm = jnp.take_along_axis(n_w, gi, -2)
-        for s in range(M):
-            point = point.at[:, i0 + s].set(pts[:, :, s])
-            normal = normal.at[:, i0 + s].set(nrm[:, :, s])
-            depth = depth.at[:, i0 + s].set(vals[:, :, s])
-        return point, normal, depth
+        N, Q = vals.shape[:2]
+        idx = np.stack([i0 + s for s in range(M)], 1).ravel()
+        # pts/nrm/vals are (N, Q, M, .): reshape is q-major, matching idx
+        put(
+            idx,
+            pts.reshape(N, Q * M, 3),
+            nrm.reshape(N, Q * M, 3),
+            vals.reshape(N, Q * M),
+        )
 
     # ------------------------------------------------------------------
     def _hull_narrowphase(
-        self, point, normal, depth, pa, qa, pb, qb, size_a, size_b, zdir,
+        self, put, pa, qa, pb, qb, size_a, size_b, zdir,
         ground_sdf, params,
     ):
         """Convex-hull contacts: vertex-manifold narrowphase for mesh shapes.
@@ -815,7 +868,13 @@ class ContactSolver:
         pair; we compute all candidate vertices once per pair, take the
         _MANIFOLD deepest (lax.top_k), and scatter them into the rows.
         Subset gathers use static numpy indices, so only hull rows pay the
-        (pairs x verts) cost."""
+        (pairs x verts) cost.
+
+        TPU layout note: all vertex-batch math runs on COMPONENT arrays
+        (three (N, P, V) floats) instead of (N, P, V, 3) vectors — the
+        (V, 3) trailing dims of the vector form tile-pad to (V, 128), a
+        42x memory blowup that made this narrowphase the franka_cube
+        bottleneck (~25 ms/substep at 256 envs)."""
         job = self.job
         sh = self.scene.shapes
         kind = job.kind
@@ -825,89 +884,143 @@ class ContactSolver:
         def rows0(code):
             return np.nonzero((kind == code) & (slot == 0))[0]
 
+        def comps(arr, i0):
+            """(N, C, k) -> tuple of k (N, P, 1) component arrays."""
+            sub = arr[:, i0]
+            return tuple(sub[..., k, None] for k in range(sub.shape[-1]))
+
+        def qrot_c(q, v):
+            qx, qy, qz, qw = q
+            vx, vy, vz = v
+            tx = 2 * (qy * vz - qz * vy)
+            ty = 2 * (qz * vx - qx * vz)
+            tz = 2 * (qx * vy - qy * vx)
+            return (
+                vx + qw * tx + (qy * tz - qz * ty),
+                vy + qw * ty + (qz * tx - qx * tz),
+                vz + qw * tz + (qx * ty - qy * tx),
+            )
+
+        def qconj_c(q):
+            return (-q[0], -q[1], -q[2], q[3])
+
         def scale_of(i0, shape_arr, size_rt):
             s_np = np.asarray(shape_arr)[i0]
             base = np.maximum(sh.size[s_np].astype(np.float32), 1e-6)
             return size_rt[:, i0] / base  # (N, P, 3)
 
         def hull_world_verts(i0, shape_arr, p_, q_, size_rt):
-            """World positions of side's hull verts: (N, P, V, 3)."""
+            """World hull-vert components: three (N, P, V) arrays."""
             hid = sh.hull_id[np.asarray(shape_arr)[i0]]
-            hv = self.hull_verts[hid]  # (P, V, 3)
+            hv = self.hull_verts[hid]  # (P, V, 3) static
             sig = scale_of(i0, shape_arr, size_rt)  # (N, P, 3)
-            v_loc = hv * sig[..., None, :]
-            return p_[:, i0, None, :] + quat_rotate(q_[:, i0, None, :], v_loc)
+            v_loc = tuple(
+                hv[..., k][None] * sig[..., k, None] for k in range(3)
+            )
+            q_c = comps(q_, i0)
+            p_c = comps(p_, i0)
+            w = qrot_c(q_c, v_loc)
+            return tuple(w[k] + p_c[k] for k in range(3))
 
-        def point_in_hull(i0, shape_arr, p_, q_, size_rt, x_world):
-            """Signed distance + outward world normal of points vs a hull.
-
-            x_world: (N, P, K, 3). Returns (sd (N,P,K), n_out (N,P,K,3))."""
+        def point_in_hull(i0, shape_arr, p_, q_, size_rt, x_c):
+            """Signed distance + outward world normal components of points
+            vs a hull. x_c: component tuple of (N, P, K) arrays."""
             hid = sh.hull_id[np.asarray(shape_arr)[i0]]
             planes = self.hull_planes[hid]  # (P, F, 4)
             sig = scale_of(i0, shape_arr, size_rt)  # (N, P, 3)
             sig_u = jnp.mean(sig, axis=-1)  # uniform-scale approx
-            rel = quat_rotate(
-                _qconj(q_[:, i0, None, :]), x_world - p_[:, i0, None, :]
-            ) / jnp.clip(sig[..., None, :], 1e-6)
-            s_f = (
-                jnp.einsum("npkj,pfj->npkf", rel, planes[..., :3])
-                + planes[None, :, None, :, 3]
+            q_c = comps(q_, i0)
+            p_c = comps(p_, i0)
+            d = tuple(x_c[k] - p_c[k] for k in range(3))
+            rel = qrot_c(qconj_c(q_c), d)
+            rel = tuple(
+                rel[k] / jnp.clip(sig[..., k, None], 1e-6) for k in range(3)
             )
+            pn = tuple(planes[..., k][None, :, None, :] for k in range(4))
+            s_f = (
+                rel[0][..., None] * pn[0]
+                + rel[1][..., None] * pn[1]
+                + rel[2][..., None] * pn[2]
+                + pn[3]
+            )  # (N, P, K, F)
             sd = jnp.max(s_f, axis=-1) * sig_u[..., None]
             fidx = jnp.argmax(s_f, axis=-1)  # (N, P, K)
-            # batched gather of the argmax face normal: (N,P,K,4) output only.
-            # (The obvious broadcast_to((N,P,K,F,3)) + take_along_axis blows
-            # up under the TPU tiled layout: (F,3) pads to (128,128), turning
-            # ~1 GB into 47 GB at 4096 envs — the round-2 bench OOM.)
+            # per-component batched gather of the argmax face normal (the
+            # vector-form broadcast+take_along_axis was the round-2 47 GB
+            # OOM; even the (N,P,K,4) gather pads 4 -> 128)
             pidx = jnp.arange(planes.shape[0])[None, :, None]
-            n_loc = planes[pidx, fidx][..., :3]
-            return sd, quat_rotate(q_[:, i0, None, :], n_loc)
+            n_loc = tuple(planes[..., k][pidx, fidx] for k in range(3))
+            return sd, qrot_c(q_c, n_loc)
 
-        def top4(i0, pts, nrms, deps):
-            """Scatter the 4 deepest candidates into rows i0..i0+3."""
-            nonlocal point, normal, depth
+        def top4(i0, pts_c, nrm_c, deps):
+            """Emit the 4 deepest candidates into rows i0..i0+3."""
+            N = deps.shape[0]
+            P = len(i0)
             vals, ti = jax.lax.top_k(deps, M4)  # (N, P, 4)
-            gi = jnp.broadcast_to(ti[..., None], ti.shape + (3,))
-            pts4 = jnp.take_along_axis(pts, gi, axis=-2)
-            nrm4 = jnp.take_along_axis(nrms, gi, axis=-2)
-            for s in range(M4):
-                point = point.at[:, i0 + s].set(pts4[:, :, s])
-                normal = normal.at[:, i0 + s].set(nrm4[:, :, s])
-                depth = depth.at[:, i0 + s].set(vals[:, :, s])
+            p4 = [jnp.take_along_axis(pts_c[k], ti, axis=-1) for k in range(3)]
+            n4 = [jnp.take_along_axis(nrm_c[k], ti, axis=-1) for k in range(3)]
+            pts4 = jnp.stack(p4, -1)  # (N, P, 4, 3) — tiny
+            nrm4 = jnp.stack(n4, -1)
+            idx = np.stack([i0 + s for s in range(M4)], 1).ravel()
+            put(
+                idx,
+                pts4.reshape(N, P * M4, 3),
+                nrm4.reshape(N, P * M4, 3),
+                vals.reshape(N, P * M4),
+            )
+
+        def neg_c(v):
+            return (-v[0], -v[1], -v[2])
+
+        def ground_sdf_c(w_c):
+            """Component ground query; heightfields pack to vectors (rare
+            with hulls, and the HF interpolation is gather-bound anyway)."""
+            if self.hf_data is not None:
+                w = jnp.stack(w_c, -1)
+                d, n = ground_sdf(w)
+                return d, tuple(n[..., k] for k in range(3))
+            pn = jnp.asarray(self.plane_n)
+            pd = jnp.asarray(self.plane_d)
+            d = w_c[0] * pn[0] + w_c[1] * pn[1] + w_c[2] * pn[2] - pd
+            n = tuple(jnp.broadcast_to(pn[k], d.shape) for k in range(3))
+            return d, n
 
         # hull verts vs ground plane / heightfield
         i0 = rows0(K_HULL_PLANE)
         if len(i0):
             w = hull_world_verts(i0, job.shape_a, pa, qa, size_a)
-            d, n = ground_sdf(w)
+            d, n = ground_sdf_c(w)
             top4(i0, w, n, -d)
 
         # hull(a) verts in box(b): sphere-box with r=0 (speculative outside)
         i0 = rows0(K_HULLV_BOX)
         if len(i0):
             w = hull_world_verts(i0, job.shape_a, pa, qa, size_a)
-            szb = size_b[:, i0, None, :]
-            rel = quat_rotate(_qconj(qb[:, i0, None, :]), w - pb[:, i0, None, :])
-            clamped = jnp.clip(rel, -szb, szb)
-            inside = jnp.all(jnp.abs(rel) <= szb, axis=-1)
-            pen_ax = szb - jnp.abs(rel)
-            ax = jnp.argmin(pen_ax, axis=-1)
-            sgn = jnp.sign(jnp.take_along_axis(rel, ax[..., None], -1))[..., 0]
-            surf = jnp.where(
-                inside[..., None],
-                _scatter_axis(
-                    clamped, ax,
-                    sgn * jnp.take_along_axis(szb + 0.0 * rel, ax[..., None], -1)[..., 0],
-                ),
-                clamped,
+            qb_c = comps(qb, i0)
+            pb_c = comps(pb, i0)
+            szb = comps(size_b, i0)  # three (N, P, 1)
+            rel = qrot_c(qconj_c(qb_c), tuple(w[k] - pb_c[k] for k in range(3)))
+            cl = tuple(jnp.clip(rel[k], -szb[k], szb[k]) for k in range(3))
+            pen = tuple(szb[k] - jnp.abs(rel[k]) for k in range(3))
+            inside = (pen[0] >= 0) & (pen[1] >= 0) & (pen[2] >= 0)
+            m = jnp.minimum(pen[0], jnp.minimum(pen[1], pen[2]))
+            is_x = pen[0] <= m
+            is_y = (~is_x) & (pen[1] <= m)
+            is_z = (~is_x) & (~is_y)
+            sel = (is_x, is_y, is_z)
+            sgn = tuple(jnp.sign(rel[k]) for k in range(3))
+            surf = tuple(
+                jnp.where(inside & sel[k], sgn[k] * szb[k], cl[k])
+                for k in range(3)
             )
-            cp_w = pb[:, i0, None, :] + quat_rotate(qb[:, i0, None, :], surf)
-            dvec = w - cp_w
-            dist = jnp.linalg.norm(dvec, axis=-1).clip(1e-9)
-            n = jnp.where(
-                inside[..., None],
-                quat_rotate(qb[:, i0, None, :], _axis_vec(ax, sgn)),
-                dvec / dist[..., None],
+            cp = qrot_c(qb_c, surf)
+            cp = tuple(cp[k] + pb_c[k] for k in range(3))
+            dv = tuple(w[k] - cp[k] for k in range(3))
+            dist = jnp.sqrt(dv[0] ** 2 + dv[1] ** 2 + dv[2] ** 2).clip(1e-9)
+            ax_vec = tuple(jnp.where(sel[k], sgn[k], 0.0) for k in range(3))
+            n_in = qrot_c(qb_c, ax_vec)
+            n = tuple(
+                jnp.where(inside, n_in[k], dv[k] / dist) for k in range(3)
             )
             dep = jnp.where(inside, dist, -dist)
             top4(i0, w, n, dep)
@@ -915,12 +1028,17 @@ class ContactSolver:
         # box(b) corners in hull(a)
         i0 = rows0(K_BOXV_HULL)
         if len(i0):
-            corn = jnp.asarray(_BOX_CORNERS)  # (8, 3)
-            cw = pb[:, i0, None, :] + quat_rotate(
-                qb[:, i0, None, :], corn * size_b[:, i0, None, :]
-            )  # (N, P, 8, 3)
+            corn = _BOX_CORNERS  # (8, 3) numpy
+            qb_c = comps(qb, i0)
+            pb_c = comps(pb, i0)
+            szb = comps(size_b, i0)
+            c_loc = tuple(
+                jnp.asarray(corn[:, k])[None, None] * szb[k] for k in range(3)
+            )
+            cw = qrot_c(qb_c, c_loc)
+            cw = tuple(cw[k] + pb_c[k] for k in range(3))  # (N, P, 8)
             sd, n_out = point_in_hull(i0, job.shape_a, pa, qa, size_a, cw)
-            top4(i0, cw, -n_out, -sd)
+            top4(i0, cw, neg_c(n_out), -sd)
 
         # hull(a) verts in hull(b) and the reverse
         i0 = rows0(K_HULLV_HULL)
@@ -932,19 +1050,17 @@ class ContactSolver:
         if len(i0):
             w = hull_world_verts(i0, job.shape_b, pb, qb, size_b)
             sd, n_out = point_in_hull(i0, job.shape_a, pa, qa, size_a, w)
-            top4(i0, w, -n_out, -sd)
+            top4(i0, w, neg_c(n_out), -sd)
 
         # sphere(a) vs hull(b)
         i0 = rows0(K_SPH_HULL)
         if len(i0):
-            c = pa[:, i0, None, :]
+            c = tuple(pa[:, i0, k, None] for k in range(3))  # (N, P, 1)
             sd, n_out = point_in_hull(i0, job.shape_b, pb, qb, size_b, c)
             r = size_a[:, i0, 0]
-            n1 = n_out[:, :, 0]
-            pt = c[:, :, 0] - n1 * r[..., None]
-            point = point.at[:, i0].set(pt)
-            normal = normal.at[:, i0].set(n1)
-            depth = depth.at[:, i0].set(r - sd[:, :, 0])
+            n1 = jnp.stack([n_out[k][:, :, 0] for k in range(3)], -1)
+            pt = jnp.stack([c[k][:, :, 0] for k in range(3)], -1) - n1 * r[..., None]
+            put(i0, pt, n1, r - sd[:, :, 0])
 
         # capsule(a) endpoint spheres vs hull(b)
         for s in range(2):
@@ -955,15 +1071,12 @@ class ContactSolver:
                 hl = size_a[:, i0, 1]
                 r = size_a[:, i0, 0]
                 endp = pa[:, i0] + zdir[:, i0] * (hl * sign)[..., None]
+                e_c = tuple(endp[..., k, None] for k in range(3))
                 sd, n_out = point_in_hull(
-                    i0, job.shape_b, pb, qb, size_b, endp[:, :, None, :]
+                    i0, job.shape_b, pb, qb, size_b, e_c
                 )
-                n1 = n_out[:, :, 0]
-                point = point.at[:, i0].set(endp - n1 * r[..., None])
-                normal = normal.at[:, i0].set(n1)
-                depth = depth.at[:, i0].set(r - sd[:, :, 0])
-
-        return point, normal, depth
+                n1 = jnp.stack([n_out[k][:, :, 0] for k in range(3)], -1)
+                put(i0, endp - n1 * r[..., None], n1, r - sd[:, :, 0])
 
     # ------------------------------------------------------------------
     def solve(
