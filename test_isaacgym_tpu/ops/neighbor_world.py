@@ -168,6 +168,7 @@ def solve(
     contact_offset: float,
     slop: float,
     bounce_thresh: float,
+    max_depen: float = 100.0,
 ):
     """Returns (vel', omega', cf (N, F, 3) normal contact force/body)."""
     N, F = pos.shape[:2]
@@ -238,16 +239,33 @@ def solve(
 
     best_sep = jnp.full((N, F, K), -BIG)
     best_n = jnp.zeros((N, F, K, 3))
-    for src, Rsrc in ((0, Ri), (1, Rj)):
+
+    def sat_axis(ax, ok, best_sep, best_n):
+        dist_ax = jnp.einsum("...k,...k->...", ax, d_ij)
+        sep = jnp.abs(dist_ax) - ext(Ri, szi, ax) - ext(Rj, szj, ax)
+        better = ok & (sep > best_sep)
+        # orient j -> i: flip when the axis points i -> j
+        n_dir = ax * jnp.where(dist_ax > 0, -1.0, 1.0)[..., None]
+        best_sep = jnp.where(better, sep, best_sep)
+        best_n = jnp.where(better[..., None], n_dir, best_n)
+        return best_sep, best_n
+
+    true_ = jnp.ones((N, F, K), bool)
+    for Rsrc in (Ri, Rj):
         for k_ax in range(3):
-            ax = Rsrc[..., :, k_ax]
-            dist_ax = jnp.einsum("...k,...k->...", ax, d_ij)
-            sep = jnp.abs(dist_ax) - ext(Ri, szi, ax) - ext(Rj, szj, ax)
-            better = sep > best_sep
-            # orient j -> i: flip when the axis points i -> j
-            n_dir = ax * jnp.where(dist_ax > 0, -1.0, 1.0)[..., None]
-            best_sep = jnp.where(better, sep, best_sep)
-            best_n = jnp.where(better[..., None], n_dir, best_n)
+            best_sep, best_n = sat_axis(
+                Rsrc[..., :, k_ax], true_, best_sep, best_n
+            )
+    # edge-cross axes (the 9 a-edge x b-edge directions): without them,
+    # edge-edge-only penetrations pick a wrong face normal (advisor
+    # round-3 finding; the static path covers these via _box_box_edge)
+    for ka in range(3):
+        for kb in range(3):
+            ax_raw = jnp.cross(Ri[..., :, ka], Rj[..., :, kb])
+            nrm_ax = jnp.linalg.norm(ax_raw, axis=-1)
+            ok = nrm_ax > 1e-6  # near-parallel edges: face axes cover it
+            ax = ax_raw / jnp.clip(nrm_ax, 1e-6)[..., None]
+            best_sep, best_n = sat_axis(ax, ok, best_sep, best_n)
 
     # manifold: 16 corner candidates, depth along the SAT axis
     ci_w = pi[..., None, :] + quat_rotate(
@@ -369,7 +387,9 @@ def solve(
     # ---- mass-split relaxed Jacobi (contacts.py math) ----
     beta = 0.2
     h_inv = 1.0 / h
-    bias = jnp.minimum(beta * h_inv * jnp.clip(dep - slop, 0.0, None), 0.5)
+    # cap matches physx.max_depenetration_velocity (plumbed from the caller
+    # like the static-table solver — advisor round-3 finding)
+    bias = jnp.minimum(beta * h_inv * jnp.clip(dep - slop, 0.0, None), max_depen)
 
     cnt = jnp.zeros((N, F))
     af = active.astype(pos.dtype)

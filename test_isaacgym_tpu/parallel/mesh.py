@@ -56,6 +56,26 @@ def init_distributed(coordinator: Optional[str] = None, num_processes: Optional[
     )
 
 
+def global_env_tree(tree, mesh: Mesh, num_envs: int, axis="env"):
+    """Multi-process variant of shard_env_tree: build GLOBAL arrays over a
+    mesh that spans processes. Every process passes the identical full-size
+    host tree (env construction is deterministic); each only materializes
+    its addressable shards (jax.make_array_from_callback slices the host
+    array per local device). Works unchanged in single-process runs."""
+
+    def place(x):
+        x = np.asarray(x)
+        if x.ndim >= 1 and x.shape[0] == num_envs:
+            spec = P(axis, *([None] * (x.ndim - 1)))
+        else:
+            spec = P()
+        return jax.make_array_from_callback(
+            x.shape, NamedSharding(mesh, spec), lambda idx, x=x: x[idx]
+        )
+
+    return jax.tree.map(place, tree)
+
+
 def shard_env_tree(tree, mesh: Mesh, num_envs: int, axis: str = "env"):
     """Place every leaf whose leading dim == num_envs on the env axis;
     replicate everything else (gravity vector, scalars, clocks)."""

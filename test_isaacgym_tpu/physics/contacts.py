@@ -176,8 +176,15 @@ class ContactSolver:
         fast_ground_shapes = (sw_shapes if sw_ground else set()) | (
             nw_shapes if nw_ground else set()
         )
-        # pairwise rows any fast path owns
-        fast_shapes = sw_shapes | nw_shapes
+        # pairwise rows a fast path owns. A pair leaves the static table
+        # only when ONE spec owns BOTH shapes: sphere_world admits spheres
+        # with local offsets that neighbor_world rejects, so a sw-sphere vs
+        # nw-box pair is generated by NEITHER dense path and must stay here
+        # (advisor round-3 finding).
+        def _fast_pair(si, sj):
+            return (si in sw_shapes and sj in sw_shapes) or (
+                si in nw_shapes and sj in nw_shapes
+            )
 
         rows: List[tuple] = []  # (ea, eb, kind, sa, sb, slot)
         WORLD = _Entity(T_STATIC, 0, 0, 0, 0, 0)
@@ -262,8 +269,8 @@ class ContactSolver:
                     and ei.copy == ej.copy
                 ):
                     continue
-                if si in fast_shapes and sj in fast_shapes:
-                    continue  # a dense fast path owns this pair
+                if _fast_pair(si, sj):
+                    continue  # a single dense fast path owns this pair
                 if _pair_allowed(scene, si, sj):
                     pairs.append((si, ei, sj, ej))
             for sj, ej in stat_shapes:
@@ -509,6 +516,7 @@ class ContactSolver:
             px.contact_offset,
             slop,
             px.bounce_threshold_velocity,
+            max_depen=px.max_depenetration_velocity,
         )
         free_v = free_v.at[:, fidx].set(v1)
         free_w = free_w.at[:, fidx].set(w1)

@@ -117,7 +117,15 @@ def test_golden_franka_cube_grasp():
 
 
 def test_golden_nut_bolt_thread():
-    """Nut threading descent profile, 2 envs, 120 steps / 20."""
+    """Nut threading descent profile, 2 envs, 120 steps / 20.
+
+    atol is LOOSER than the other goldens: SDF thread contact is chaotic —
+    a single-ulp difference from XLA fusion reordering (compiler flags, op
+    restructuring that is bitwise-identical under one config) grows
+    exponentially to ~1e-3 by step 110 (round-4 adjudication of the r3
+    red suite: old/new narrowphase bitwise-equal for 120 steps under one
+    flag set, 1.2e-3 apart across flag sets). 5e-3 still catches real
+    physics changes — wrong descent is ~1e-2/s, penetration ~1e-2."""
     from test_isaacgym_tpu.envs.nut_bolt import NutBoltEnv
 
     env = NutBoltEnv(num_envs=2)
@@ -126,4 +134,4 @@ def test_golden_nut_bolt_thread():
     def extract(s):
         return {"nut_state": np.asarray(s.root_pos[:, env.nut_slot])}
 
-    _check("nut_bolt", _chunked(chunk, env.sim.state, 6, extract))
+    _check("nut_bolt", _chunked(chunk, env.sim.state, 6, extract), atol=5e-3)
