@@ -366,6 +366,26 @@ class ContactSolver:
             self.link_lists.append((ia.astype(np.int32), ib.astype(np.int32)))
         self.any_link = any(len(ia) + len(ib) for ia, ib in self.link_lists)
 
+        # static one-hot (B_env, C) matrices: per-body segment reductions in
+        # the solve become MXU matmuls instead of scatter-adds (TPU scatter
+        # over a (N, C)-indexed axis measured ~23 ms at (1024, 245))
+        C = self.num_contacts
+        B_env = scene.num_bodies_per_env
+        job = self.job
+
+        def oh_body(side_body, row_mask):
+            m = np.zeros((B_env, C), np.float32)
+            rows_i = np.nonzero(row_mask)[0]
+            m[side_body[rows_i], rows_i] = 1.0
+            return m
+
+        resp_a = job.a.type != T_STATIC
+        resp_b = (job.b.type != T_STATIC) & (job.shape_b >= 0)
+        self._oh_cnt_a = oh_body(job.a.body, resp_a)
+        self._oh_cnt_b = oh_body(job.b.body, resp_b)
+        self._oh_cf_a = oh_body(job.a.body, np.ones(C, bool))
+        self._oh_cf_b = oh_body(job.b.body, job.shape_b >= 0)
+
         # heightfield terrain (SURVEY.md N10: contact stays heightfield-native)
         hf = scene.heightfield
         if hf is not None:
@@ -540,25 +560,67 @@ class ContactSolver:
         kind = job.kind
         slot = job.slot
 
+        # TPU layout note: full-C per-contact state lives in COMPONENT
+        # arrays (tuples of (N, C) floats). A (N, C, 3) tensor tile-pads its
+        # trailing 3 to 128 lanes (42x), and gathers along C with that
+        # trailing dim measured ~25 ms alone at (1024, 245) — the entire
+        # franka_cube narrowphase budget. 2-D (N, C) arrays pad to (N, 256).
+        # Per-KIND math still runs in vector form on its small row subset
+        # (stacking a (N, P, 3) for P<=25 rows is noise).
+        def comps(x):
+            return tuple(x[..., k] for k in range(x.shape[-1]))
+
         def shape_pose(s_arr):
             s_np = np.asarray(s_arr)
             owner = sh.body_slot[s_np]
-            bp = body_pos[:, owner]
-            bq = body_quat[:, owner]
-            spos = params.shape_pos[:, jnp.asarray(s_np)]  # (N, C, 3)
-            squat = jnp.asarray(sh.quat[s_np], jnp.float32)
-            return bp + quat_rotate(bq, spos), quat_mul(bq, squat)
+            bp = tuple(body_pos[..., k][:, owner] for k in range(3))
+            bq = tuple(body_quat[..., k][:, owner] for k in range(4))
+            spos = tuple(
+                params.shape_pos[..., k][:, jnp.asarray(s_np)] for k in range(3)
+            )
+            squat = sh.quat[s_np]  # (C, 4) static numpy
+            sq = tuple(jnp.asarray(squat[:, k], jnp.float32)[None] for k in range(4))
+            w = _qrot_c(bq, spos)
+            p = tuple(w[k] + bp[k] for k in range(3))
+            q = _qmul_c(bq, sq)
+            return p, q
 
-        pa, qa = shape_pose(job.shape_a)
+        pa_c, qa_c = shape_pose(job.shape_a)
         sb_safe = np.maximum(job.shape_b, 0)
-        pb, qb = shape_pose(sb_safe)
+        pb_c, qb_c = shape_pose(sb_safe)
 
-        size_a = params.shape_size[:, jnp.asarray(job.shape_a)]
-        size_b = params.shape_size[:, jnp.asarray(sb_safe)]
+        size_a_c = tuple(
+            params.shape_size[..., k][:, jnp.asarray(job.shape_a)]
+            for k in range(3)
+        )
+        size_b_c = tuple(
+            params.shape_size[..., k][:, jnp.asarray(sb_safe)] for k in range(3)
+        )
 
-        point = jnp.zeros((N, C, 3), body_pos.dtype)
-        normal = jnp.zeros((N, C, 3), body_pos.dtype)
-        depth = jnp.full((N, C), -1.0, body_pos.dtype)
+        def sub(comp_tuple, i):
+            """Stack a row subset of a component tuple into vector form."""
+            return jnp.stack([c[:, i] for c in comp_tuple], axis=-1)
+
+        class _Sub:
+            """Lazily stacks per-kind row subsets (keeps the per-kind code
+            in readable vector form while full-C state stays 2-D).
+            Supports x[:, i] -> (N, P, k) and x[:, i, c] -> (N, P)."""
+
+            def __init__(self, comp):
+                self.comp = comp
+                self.dtype = comp[0].dtype
+
+            def __getitem__(self, key):
+                if len(key) == 3:
+                    _, i, c = key
+                    if c is None:  # x[:, i, None] -> (N, P, 1, k)
+                        return sub(self.comp, i)[:, :, None]
+                    return self.comp[c][:, i]
+                _, i = key
+                return sub(self.comp, i)
+
+        pa, qa, pb, qb = _Sub(pa_c), _Sub(qa_c), _Sub(pb_c), _Sub(qb_c)
+        size_a, size_b = _Sub(size_a_c), _Sub(size_b_c)
 
         pn = jnp.asarray(self.plane_n)
         pd = jnp.asarray(self.plane_d)
@@ -778,16 +840,9 @@ class ContactSolver:
             )
             put(i, pt_ee, n_ee, dep_ee)
 
-        # capsule z-axes for the hull path (subset-computed there)
-        zdir = None
-
         if self.hull_verts is not None:
-            hull_cap = rows(K_CAP_HULL)
-            if len(hull_cap):
-                zdir = jnp.zeros((N, C, 3), body_pos.dtype)
-                zdir = zdir.at[:, hull_cap].set(cap_axis(qa, hull_cap))
             self._hull_narrowphase(
-                put, pa, qa, pb, qb, size_a, size_b, zdir, ground_sdf, params,
+                put, pa, qa, pb, qb, size_a, size_b, None, ground_sdf, params,
             )
 
         if self.sdf_data is not None:
@@ -795,19 +850,35 @@ class ContactSolver:
 
         if acc:
             idx = np.concatenate([a[0] for a in acc])
+            # assembly stays 2-D PER COMPONENT: one static inverse-
+            # permutation gather per (N, Ctot) array — the former vector-form
+            # gather on (N, C, 3) was a measured ~10 ms on its own (42x
+            # lane padding on the trailing 3)
             if len(idx) == C and len(np.unique(idx)) == C:
-                # every row produced exactly once: assemble with ONE static
-                # inverse-permutation gather (scatters are XLA:TPU compile
-                # poison at this op count)
                 inv = np.empty(C, np.int64)
                 inv[idx] = np.arange(C)
-                point = jnp.concatenate([a[1] for a in acc], 1)[:, inv]
-                normal = jnp.concatenate([a[2] for a in acc], 1)[:, inv]
-                depth = jnp.concatenate([a[3] for a in acc], 1)[:, inv]
+
+                def assemble(col, k=None):
+                    parts = [
+                        a[col][..., k] if k is not None else a[col]
+                        for a in acc
+                    ]
+                    return jnp.concatenate(parts, 1)[:, inv]
+
+                point = jnp.stack([assemble(1, k) for k in range(3)], -1)
+                normal = jnp.stack([assemble(2, k) for k in range(3)], -1)
+                depth = assemble(3)
             else:  # partial coverage (defensive)
+                point = jnp.zeros((N, C, 3), body_pos.dtype)
+                normal = jnp.zeros((N, C, 3), body_pos.dtype)
+                depth = jnp.full((N, C), -1.0, body_pos.dtype)
                 point = point.at[:, idx].set(jnp.concatenate([a[1] for a in acc], 1))
                 normal = normal.at[:, idx].set(jnp.concatenate([a[2] for a in acc], 1))
                 depth = depth.at[:, idx].set(jnp.concatenate([a[3] for a in acc], 1))
+        else:
+            point = jnp.zeros((N, C, 3), body_pos.dtype)
+            normal = jnp.zeros((N, C, 3), body_pos.dtype)
+            depth = jnp.full((N, C), -1.0, body_pos.dtype)
 
         active = depth > -self.scene.sim_params.physx.contact_offset
         return point, normal, depth, active
@@ -852,9 +923,15 @@ class ContactSolver:
         phi = phi * jnp.mean(sig_b, -1)[..., None]  # uniform-scale approx
         n_w = quat_rotate(qb[:, i0, None], n_loc)
         vals, ti = jax.lax.top_k(-phi, M)  # deepest probes
-        gi = jnp.broadcast_to(ti[..., None], ti.shape + (3,))
-        pts = jnp.take_along_axis(w, gi, -2)
-        nrm = jnp.take_along_axis(n_w, gi, -2)
+        # one-hot selection (TPU: argsorted gathers are ~40 elems/us)
+        P = phi.shape[-1]
+        oh = (ti[..., None] == jnp.arange(P)[None, None, None]).astype(w.dtype)
+        pts = jnp.stack(
+            [jnp.sum(oh * w[..., k][:, :, None, :], -1) for k in range(3)], -1
+        )
+        nrm = jnp.stack(
+            [jnp.sum(oh * n_w[..., k][:, :, None, :], -1) for k in range(3)], -1
+        )
         N, Q = vals.shape[:2]
         idx = np.stack([i0 + s for s in range(M)], 1).ravel()
         # pts/nrm/vals are (N, Q, M, .): reshape is q-major, matching idx
@@ -951,22 +1028,36 @@ class ContactSolver:
                 + rel[2][..., None] * pn[2]
                 + pn[3]
             )  # (N, P, K, F)
-            sd = jnp.max(s_f, axis=-1) * sig_u[..., None]
-            fidx = jnp.argmax(s_f, axis=-1)  # (N, P, K)
-            # per-component batched gather of the argmax face normal (the
-            # vector-form broadcast+take_along_axis was the round-2 47 GB
-            # OOM; even the (N,P,K,4) gather pads 4 -> 128)
-            pidx = jnp.arange(planes.shape[0])[None, :, None]
-            n_loc = tuple(planes[..., k][pidx, fidx] for k in range(3))
+            sd_raw = jnp.max(s_f, axis=-1)
+            sd = sd_raw * sig_u[..., None]
+            # argmax face normal via ONE-HOT mask-reduce: a gather indexed
+            # by argmax runs ~40 elements/us on TPU (measured 4.3 ms for
+            # 180k elements — the top cost of the whole franka_cube step);
+            # the masked reduction rides the same (N, P, K, F) fusion as
+            # s_f itself. Ties resolve by normalizing the mask sum.
+            m = (s_f >= sd_raw[..., None]).astype(s_f.dtype)
+            m = m / jnp.clip(jnp.sum(m, axis=-1, keepdims=True), 1.0)
+            n_loc = tuple(
+                jnp.sum(planes[..., k][None, :, None, :] * m, axis=-1)
+                for k in range(3)
+            )
             return sd, qrot_c(q_c, n_loc)
 
         def top4(i0, pts_c, nrm_c, deps):
-            """Emit the 4 deepest candidates into rows i0..i0+3."""
+            """Emit the 4 deepest candidates into rows i0..i0+3.
+
+            The top-k SELECTION is a one-hot mask-reduce, not a gather:
+            take_along_axis here measured 2.8 ms per (N, 22, 4)<-(N, 22, V)
+            call on TPU (~20 such calls per substep dominated the step)."""
             N = deps.shape[0]
             P = len(i0)
             vals, ti = jax.lax.top_k(deps, M4)  # (N, P, 4)
-            p4 = [jnp.take_along_axis(pts_c[k], ti, axis=-1) for k in range(3)]
-            n4 = [jnp.take_along_axis(nrm_c[k], ti, axis=-1) for k in range(3)]
+            V = deps.shape[-1]
+            oh = (ti[..., None] == jnp.arange(V)[None, None, None]).astype(
+                deps.dtype
+            )  # (N, P, 4, V)
+            p4 = [jnp.sum(pts_c[k][..., None, :] * oh, -1) for k in range(3)]
+            n4 = [jnp.sum(nrm_c[k][..., None, :] * oh, -1) for k in range(3)]
             pts4 = jnp.stack(p4, -1)  # (N, P, 4, 3) — tiny
             nrm4 = jnp.stack(n4, -1)
             idx = np.stack([i0 + s for s in range(M4)], 1).ravel()
@@ -1078,7 +1169,8 @@ class ContactSolver:
                 sign = 1.0 if s == 0 else -1.0
                 hl = size_a[:, i0, 1]
                 r = size_a[:, i0, 0]
-                endp = pa[:, i0] + zdir[:, i0] * (hl * sign)[..., None]
+                z_i0 = quat_rotate(qa[:, i0], jnp.array([0.0, 0, 1.0]))
+                endp = pa[:, i0] + z_i0 * (hl * sign)[..., None]
                 e_c = tuple(endp[..., k, None] for k in range(3))
                 sd, n_out = point_in_hull(
                     i0, job.shape_b, pb, qb, size_b, e_c
@@ -1145,12 +1237,47 @@ class ContactSolver:
             free_v = jnp.zeros((N, 1, 3), body_pos.dtype)
             free_w = jnp.zeros((N, 1, 3), body_pos.dtype)
         point, normal, depth, active = self.narrowphase(body_pos, body_quat, params)
+        # ---- COMPONENT-FORM solve: every per-contact quantity below is a
+        # tuple/list of (N, C) arrays with the contact axis LAST (lane dim).
+        # (N, C, 3) vectors tile-pad their trailing 3 to 128 lanes (42x) and
+        # a single gather/scatter/reduce over them measured 23-28 ms at
+        # (1024, 245) on TPU — the whole franka_cube budget. The 2-D form
+        # keeps the iteration loop in dense VPU fusions, and the per-body /
+        # per-copy segment reductions become one-hot matmuls on the MXU. ----
+        f32 = body_pos.dtype
+        ptc = tuple(point[..., k] for k in range(3))
+        nrm = tuple(normal[..., k] for k in range(3))
+
+        def crossc(a, b):
+            return (
+                a[1] * b[2] - a[2] * b[1],
+                a[2] * b[0] - a[0] * b[2],
+                a[0] * b[1] - a[1] * b[0],
+            )
+
+        def dotc(a, b):
+            return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]
+
+        def assemble_rows(parts):
+            """[(static idx, (N, P) vals)] -> (N, C), zeros elsewhere; one
+            static inverse-permutation gather, no scatters."""
+            idx = np.concatenate([p[0] for p in parts])
+            arrs = [p[1] for p in parts]
+            rest = np.setdiff1d(np.arange(C), idx)
+            if len(rest):
+                arrs.append(jnp.zeros((N, len(rest)), f32))
+                idx = np.concatenate([idx, rest])
+            inv = np.empty(C, np.int64)
+            inv[idx] = np.arange(C)
+            return jnp.concatenate(arrs, 1)[:, inv]
 
         # --- material params per contact ---
         sb_safe = np.maximum(job.shape_b, 0)
+        has_b_np = np.asarray(job.shape_b) >= 0
+        has_b = jnp.asarray(has_b_np)
         fr_a = params.shape_friction[:, job.shape_a]
         fr_b = jnp.where(
-            jnp.asarray(job.shape_b >= 0)[None],
+            has_b[None],
             params.shape_friction[:, sb_safe],
             jnp.asarray(self.plane_friction),
         )
@@ -1158,138 +1285,181 @@ class ContactSolver:
         mu = 0.5 * (fr_a + fr_b)
         re_a = params.shape_restitution[:, job.shape_a]
         re_b = jnp.where(
-            jnp.asarray(job.shape_b >= 0)[None],
+            has_b[None],
             params.shape_restitution[:, sb_safe],
             jnp.asarray(self.plane_restitution),
         )
         rest = 0.5 * (re_a + re_b)
 
         # --- mass-splitting Jacobi scale: each responding body's inverse
-        # mass is divided by its ACTIVE contact count, which makes the
-        # fully-parallel Jacobi iteration convergent no matter how many
-        # contacts share a body (a cube pinched by two finger pads on a
-        # table has ~30 coupled contacts; plain relaxed Jacobi diverges and
-        # launches it). Articulation sides split per actor copy since the
-        # impulse spreads through the whole joint chain. ---
-        af = active.astype(body_pos.dtype)
-        cnt = jnp.zeros((N, B_env), body_pos.dtype)
-        free_or_link_a = jnp.asarray(job.a.type != T_STATIC)
-        free_or_link_b = jnp.asarray((job.b.type != T_STATIC) & (job.shape_b >= 0))
-        cnt = cnt.at[:, jnp.asarray(job.a.body)].add(af * free_or_link_a)
-        cnt = cnt.at[:, jnp.asarray(job.b.body)].add(af * free_or_link_b)
+        # mass is divided by its ACTIVE contact count (see class docstring);
+        # the per-body count is a one-hot MXU reduction, not a scatter ---
+        af = active.astype(f32)
+        cnt = jnp.einsum("nc,bc->nb", af, jnp.asarray(self._oh_cnt_a)) + jnp.einsum(
+            "nc,bc->nb", af, jnp.asarray(self._oh_cnt_b)
+        )
         cnt = jnp.clip(cnt, 1.0)
+        split_a = 1.0 / cnt[:, job.a.body]
+        split_b = 1.0 / cnt[:, job.b.body]
 
-        def side_split(side: _Side):
-            """Per-contact mass-split factor 1/s for this side. Link sides
-            split by their own LINK BODY's count: splitting by the whole
-            articulation's count would dilute each constraint's progress to
-            s_body/s_copy per sweep and let force-limited drives tunnel
-            through contacts before the solve converges."""
-            return 1.0 / cnt[:, side.body]
-
-        split_a = side_split(job.a)
-        split_b = side_split(job.b)
-
-        # --- per-side response data ---
+        # --- free-body response data (component form) ---
         have_free = free_m is not None
+        F = free_v.shape[1]
+        is_free_a = job.a.type == T_FREE
+        is_free_b = job.b.type == T_FREE
+        fia = np.where(is_free_a, job.a.free, 0)
+        fib = np.where(is_free_b, job.b.free, 0)
+        mka = jnp.asarray(is_free_a & have_free)
+        mkb = jnp.asarray(is_free_b & have_free)
+        zc = jnp.zeros((N, C), f32)
         if have_free:
             inv_m = 1.0 / free_m
-            inv_I = binv(free_I_w)
+            inv_If = binv(free_I_w)
+            com_c = tuple(free_com_w[..., k] for k in range(3))
+            im_a = jnp.where(mka[None], inv_m[:, fia], 0.0)
+            im_b = jnp.where(mkb[None], inv_m[:, fib], 0.0)
+            iIa = [
+                [jnp.where(mka[None], inv_If[..., j, k2][:, fia], 0.0) for k2 in range(3)]
+                for j in range(3)
+            ]
+            iIb = [
+                [jnp.where(mkb[None], inv_If[..., j, k2][:, fib], 0.0) for k2 in range(3)]
+                for j in range(3)
+            ]
+            r_a = tuple(ptc[k] - com_c[k][:, fia] for k in range(3))
+            r_b = tuple(ptc[k] - com_c[k][:, fib] for k in range(3))
+            ohfa = np.zeros((F, C), np.float32)
+            ohfa[fia[is_free_a], np.nonzero(is_free_a)[0]] = 1.0
+            ohfb = np.zeros((F, C), np.float32)
+            ohfb[fib[is_free_b], np.nonzero(is_free_b)[0]] = 1.0
+            OHFA, OHFB = jnp.asarray(ohfa), jnp.asarray(ohfb)
+        else:
+            im_a = im_b = zc
+            iIa = [[zc] * 3 for _ in range(3)]
+            iIb = [[zc] * 3 for _ in range(3)]
+            r_a = r_b = (zc, zc, zc)
+            OHFA = OHFB = jnp.zeros((F, C), f32)
 
-        def free_side(side: _Side):
-            is_free = side.type == T_FREE
-            fi = np.where(is_free, side.free, 0)
-            mask = jnp.asarray(is_free)
-            if not have_free or not is_free.any():
-                z3 = jnp.zeros((N, C, 3), body_pos.dtype)
-                return (
-                    jnp.zeros((N, C), body_pos.dtype),
-                    jnp.zeros((N, C, 3, 3), body_pos.dtype),
-                    z3,
-                    fi,
-                    mask,
-                )
-            im = jnp.where(mask[None], inv_m[:, fi], 0.0)
-            iI = jnp.where(mask[None, :, None, None], inv_I[:, fi], 0.0)
-            r = point - free_com_w[:, fi]
-            return im, iI, r, fi, mask
-
-        # TRUE inverse masses drive the per-contact effective mass; the
-        # APPLICATION divides by the body's active contact count (mass
-        # splitting): each contact then contributes 1/s of its correction,
-        # so the Jacobi aggregate per body is bounded by relax * dv_needed
-        im_a, iI_a, r_a_f, fia, mask_fa = free_side(job.a)
-        im_b, iI_b, r_b_f, fib, mask_fb = free_side(job.b)
-
-        # link sides: per-group gathered response operators
-        # K3 (N, Cg, 3, 3) = Jp Ainv Jp^T; W (N, Cg, nv, 3) = Ainv Jp^T
-        K3_a = jnp.zeros((N, C, 3, 3), body_pos.dtype)
-        K3_b = jnp.zeros((N, C, 3, 3), body_pos.dtype)
-        link_ops = []  # (g, idx_a, Jp_a, W_a, copy_a, idx_b, Jp_b, W_b, copy_b)
+        # --- link-side response operators: joint-space impulse tables.
+        # TRUE inverse masses drive the effective mass; the APPLICATION is
+        # mass-split (see class docstring). All (6, nv) jacobian components
+        # become separate (N, Cg) arrays via one transpose + 2-D gathers ---
+        link_ops = []  # per group: [op_a | None, op_b | None]
+        K3_parts_a = [[[] for _ in range(3)] for _ in range(3)]
+        K3_parts_b = [[[] for _ in range(3)] for _ in range(3)]
         for g_id, (ia, ib) in enumerate(self.link_lists):
             if len(ia) == 0 and len(ib) == 0:
                 link_ops.append(None)
                 continue
             J = art_jac[g_id]  # (N, K, Ls, 6, nv)
             Ainv = art_Ainv[g_id]  # (N, K, nv, nv)
-            g = self.scene.art_groups[g_id]
+            K, Ls, _, nv = J.shape[1:]
+            Jt = jnp.transpose(J, (3, 4, 0, 1, 2)).reshape(6, nv, N, K * Ls)
 
-            def ops(idx, side: _Side, split):
+            def ops(idx, side, split, K3_parts):
                 if len(idx) == 0:
                     return None
-                cp = side.copy[idx]
-                lk = side.link[idx]
-                Jl = J[:, cp, lk]  # (N, Cg, 6, nv)
-                # point jacobian: v_pt = v_origin + w x r
-                link_body = side.body[idx]
-                r = point[:, idx] - body_pos[:, link_body]
-                Jp = Jl[..., 0:3, :] - skew(r) @ Jl[..., 3:6, :]  # (N, Cg, 3, nv)
-                W0 = Ainv[:, cp] @ jnp.swapaxes(Jp, -1, -2)  # (N, Cg, nv, 3)
-                K3 = Jp @ W0  # TRUE response for the effective mass
-                # mass-splitting applies only to the impulse application
-                W = W0 * split[:, idx][..., None, None]
-                return idx, Jp, W, cp, K3
+                cp = side.copy[idx].astype(np.int32)
+                flat = (cp * Ls + side.link[idx]).astype(np.int32)
+                Jl = [[Jt[r, v][:, flat] for v in range(nv)] for r in range(6)]
+                lb = side.body[idx]
+                rr = tuple(
+                    ptc[k][:, idx] - body_pos[..., k][:, lb] for k in range(3)
+                )
+                Jp = [[None] * nv for _ in range(3)]
+                for v in range(nv):
+                    cr = crossc(rr, (Jl[3][v], Jl[4][v], Jl[5][v]))
+                    for k in range(3):
+                        Jp[k][v] = Jl[k][v] - cr[k]
+                Acg = [
+                    [Ainv[..., u, v2][:, cp] for v2 in range(nv)] for u in range(nv)
+                ]
+                W0 = [[None] * 3 for _ in range(nv)]
+                for v in range(nv):
+                    for k in range(3):
+                        acc = Acg[v][0] * Jp[k][0]
+                        for u in range(1, nv):
+                            acc = acc + Acg[v][u] * Jp[k][u]
+                        W0[v][k] = acc
+                for k in range(3):
+                    for l2 in range(3):
+                        acc = Jp[k][0] * W0[0][l2]
+                        for v in range(1, nv):
+                            acc = acc + Jp[k][v] * W0[v][l2]
+                        K3_parts[k][l2].append((idx, acc))
+                sp = split[:, idx]
+                W = [[W0[v][k] * sp for k in range(3)] for v in range(nv)]
+                oh_cp = np.zeros((K, len(idx)), np.float32)
+                oh_cp[cp, np.arange(len(idx))] = 1.0
+                return dict(
+                    g=g_id, idx=idx, Jp=Jp, W=W, cp=cp, nv=nv,
+                    oh_cp=jnp.asarray(oh_cp),
+                )
 
-            oa = ops(ia, job.a, split_a)
-            ob = ops(ib, job.b, split_b)
-            if oa is not None:
-                K3_a = K3_a.at[:, oa[0]].set(oa[4])
-            if ob is not None:
-                K3_b = K3_b.at[:, ob[0]].set(ob[4])
-            link_ops.append((oa, ob))
+            link_ops.append(
+                (
+                    ops(ia, job.a, split_a, K3_parts_a),
+                    ops(ib, job.b, split_b, K3_parts_b),
+                )
+            )
 
-        # kinematic surface velocity (statics; zero for world plane)
+        def k3_table(parts):
+            return [
+                [assemble_rows(parts[k][l2]) if parts[k][l2] else zc for l2 in range(3)]
+                for k in range(3)
+            ]
+
+        K3_a = k3_table(K3_parts_a)
+        K3_b = k3_table(K3_parts_b)
+        link_mask_a = np.zeros(C, bool)
+        link_mask_b = np.zeros(C, bool)
+        for lo in link_ops:
+            if lo is None:
+                continue
+            if lo[0] is not None:
+                link_mask_a[lo[0]["idx"]] = True
+            if lo[1] is not None:
+                link_mask_b[lo[1]["idx"]] = True
+        lma, lmb = jnp.asarray(link_mask_a), jnp.asarray(link_mask_b)
+
+        # --- kinematic surface velocity (statics; zero for world plane) ---
         kin_lin, kin_ang = body_vel_kin
 
-        def kin_vel(side: _Side, valid):
-            v = kin_lin[:, side.body] + jnp.cross(
-                kin_ang[:, side.body], point - body_pos[:, side.body]
+        def kin_vel(side, valid_np):
+            is_kin = jnp.asarray((side.type == T_STATIC) & valid_np)
+            b = side.body
+            kl = tuple(kin_lin[..., k][:, b] for k in range(3))
+            ka = tuple(kin_ang[..., k][:, b] for k in range(3))
+            rr = tuple(ptc[k] - body_pos[..., k][:, b] for k in range(3))
+            cr = crossc(ka, rr)
+            return tuple(
+                jnp.where(is_kin[None], kl[k] + cr[k], 0.0) for k in range(3)
             )
-            # `valid` excludes the WORLD plane pseudo-entity (shape_b == -1),
-            # whose body slot would otherwise alias env body 0
-            is_kin = jnp.asarray((side.type == T_STATIC) & valid)
-            return jnp.where(is_kin[None, :, None], v, 0.0)
 
         vkin_a = kin_vel(job.a, np.ones(C, bool))
-        vkin_b = kin_vel(job.b, np.asarray(job.shape_b) >= 0)
+        vkin_b = kin_vel(job.b, has_b_np)
 
-        def eff_mass(direction):
-            ta = jnp.cross(r_a_f, direction)
-            tb = jnp.cross(r_b_f, direction)
-            ka = im_a + jnp.einsum("nci,ncij,ncj->nc", ta, iI_a, ta)
-            kb = im_b + jnp.einsum("nci,ncij,ncj->nc", tb, iI_b, tb)
-            ka = ka + jnp.einsum("nci,ncij,ncj->nc", direction, K3_a, direction)
-            kb = kb + jnp.einsum("nci,ncij,ncj->nc", direction, K3_b, direction)
+        def quad(M9, x, y):
+            acc = x[0] * M9[0][0] * y[0]
+            for j in range(3):
+                for k in range(3):
+                    if j == 0 and k == 0:
+                        continue
+                    acc = acc + x[j] * M9[j][k] * y[k]
+            return acc
+
+        def eff_mass(d):
+            ta = crossc(r_a, d)
+            tb = crossc(r_b, d)
+            ka = im_a + quad(iIa, ta, ta) + quad(K3_a, d, d)
+            kb = im_b + quad(iIb, tb, tb) + quad(K3_b, d, d)
             return 1.0 / jnp.clip(ka + kb, 1e-9)
 
-        k_n = eff_mass(normal)
+        k_n = eff_mass(nrm)
 
         px = self.scene.sim_params.physx
         beta = 0.2
-        # penetration allowance: bodies may sink this far before the
-        # Baumgarte bias pushes back (PhysX-like compliance — force-limited
-        # gripper squeezes need fingers to sit ~1mm inside the cube so
-        # gripper_sep drops below the object width, franka_cube_ik_osc.py:365)
+        # penetration allowance (PhysX-like compliance — see original note)
         slop = px.rest_offset + px.contact_slop
         h_inv = 1.0 / h
         bias = jnp.minimum(
@@ -1297,136 +1467,163 @@ class ContactSolver:
             px.max_depenetration_velocity,
         )
 
-        def side_vel(v_, w_, qd_, side_ops_sel, fi, mask_f, r_f, vkin, side: _Side):
-            """Point velocity of one contact side under current velocities."""
+        def side_vel(vf, wf, qd_l, sel, fi, mask_f, r_f, vkin, lmask):
+            """Point velocity comps of one contact side."""
             if have_free:
-                vf = v_[:, fi] + jnp.cross(w_[:, fi], r_f)
-                vel = jnp.where(mask_f[None, :, None], vf, vkin)
+                vg = tuple(vf[k][:, fi] for k in range(3))
+                wg = tuple(wf[k][:, fi] for k in range(3))
+                cr = crossc(wg, r_f)
+                base = tuple(
+                    jnp.where(mask_f[None], vg[k] + cr[k], vkin[k])
+                    for k in range(3)
+                )
             else:
-                vel = vkin
-            for g_id, lo in enumerate(link_ops):
-                if lo is None:
+                base = vkin
+            parts = [[] for _ in range(3)]
+            for lo in link_ops:
+                if lo is None or lo[sel] is None:
                     continue
-                o = lo[side_ops_sel]
-                if o is None:
-                    continue
-                idx, Jp, _, cp, _ = o
-                vpt = jnp.einsum("nckv,ncv->nck", Jp, qd_[g_id][:, cp])
-                vel = vel.at[:, idx].set(vpt)
-            return vel
+                o = lo[sel]
+                qd_g = qd_l[o["g"]]
+                qv = [qd_g[..., v][:, o["cp"]] for v in range(o["nv"])]
+                for k in range(3):
+                    acc = o["Jp"][k][0] * qv[0]
+                    for v in range(1, o["nv"]):
+                        acc = acc + o["Jp"][k][v] * qv[v]
+                    parts[k].append((o["idx"], acc))
+            if not parts[0]:
+                return base
+            return tuple(
+                jnp.where(lmask[None], assemble_rows(parts[k]), base[k])
+                for k in range(3)
+            )
 
-        def rel_vel(v_, w_, qd_):
-            va = side_vel(v_, w_, qd_, 0, fia, mask_fa, r_a_f, vkin_a, job.a)
-            vb = side_vel(v_, w_, qd_, 1, fib, mask_fb, r_b_f, vkin_b, job.b)
-            return va - vb
+        def rel_vel(vf, wf, qd_l):
+            va = side_vel(vf, wf, qd_l, 0, fia, mka, r_a, vkin_a, lma)
+            vb = side_vel(vf, wf, qd_l, 1, fib, mkb, r_b, vkin_b, lmb)
+            return tuple(va[k] - vb[k] for k in range(3))
 
-        vn0 = jnp.einsum("nck,nck->nc", rel_vel(free_v, free_w, art_qd), normal)
+        vfc = tuple(free_v[..., k] for k in range(3))
+        wfc = tuple(free_w[..., k] for k in range(3))
+        vr0 = rel_vel(vfc, wfc, tuple(art_qd))
+        vn0 = dotc(vr0, nrm)
         bounce = jnp.where(vn0 < -px.bounce_threshold_velocity, -rest * vn0, 0.0)
-        # speculative contact: a pair shallower than the slop depth may still
-        # approach by (depth-slop)/h this step; only depth > slop gets the
-        # positive Baumgarte/restitution target — otherwise approaching
-        # fingers stall contact_offset away from the cube and never grasp
+        # speculative contact (see original note)
         target_vn = jnp.where(
             depth > slop, jnp.maximum(bias, bounce), (depth - slop) * h_inv
         )
 
-        # mass splitting bounds the per-body aggregate correction at
-        # relax * dv_needed; 0.8 leaves margin for the nonlinear
-        # friction-direction coupling
         relax = 0.8
         iters = max(6, 2 * px.num_position_iterations) + px.num_velocity_iterations
 
-        lam_n = jnp.zeros((N, C), body_pos.dtype)
-        lam_t = jnp.zeros((N, C, 3), body_pos.dtype)
-
-        def apply_impulse(v_, w_, qd_, imp):
-            """imp (N, C, 3) acts +imp on side a, -imp on side b
-            (each body receives its mass-split 1/s share)."""
+        def apply_impulse(vf, wf, qd_l, imp):
+            """imp: 3-tuple (N, C); +imp on side a, -imp on side b (each body
+            receives its mass-split share via one-hot MXU reductions)."""
             if have_free:
                 im_as = im_a * split_a
                 im_bs = im_b * split_b
-                iI_as = iI_a * split_a[..., None, None]
-                iI_bs = iI_b * split_b[..., None, None]
-                dv_a = jnp.where(mask_fa[None, :, None], imp * im_as[..., None], 0.0)
-                dw_a = jnp.einsum("ncij,ncj->nci", iI_as, jnp.cross(r_a_f, imp))
-                dv_b = jnp.where(mask_fb[None, :, None], -imp * im_bs[..., None], 0.0)
-                dw_b = jnp.einsum("ncij,ncj->nci", iI_bs, jnp.cross(r_b_f, -imp))
-                v_ = v_.at[:, fia].add(dv_a)
-                w_ = w_.at[:, fia].add(jnp.where(mask_fa[None, :, None], dw_a, 0.0))
-                v_ = v_.at[:, fib].add(dv_b)
-                w_ = w_.at[:, fib].add(jnp.where(mask_fb[None, :, None], dw_b, 0.0))
-            qd_ = list(qd_)
-            for g_id, lo in enumerate(link_ops):
+                cra = crossc(r_a, imp)
+                crb = crossc(r_b, imp)
+                vf = list(vf)
+                wf = list(wf)
+                for k in range(3):
+                    vf[k] = vf[k] + jnp.einsum("nc,fc->nf", imp[k] * im_as, OHFA)
+                    vf[k] = vf[k] - jnp.einsum("nc,fc->nf", imp[k] * im_bs, OHFB)
+                for j in range(3):
+                    dwa = split_a * (
+                        iIa[j][0] * cra[0] + iIa[j][1] * cra[1] + iIa[j][2] * cra[2]
+                    )
+                    dwb = split_b * (
+                        iIb[j][0] * crb[0] + iIb[j][1] * crb[1] + iIb[j][2] * crb[2]
+                    )
+                    wf[j] = wf[j] + jnp.einsum("nc,fc->nf", dwa, OHFA)
+                    wf[j] = wf[j] - jnp.einsum("nc,fc->nf", dwb, OHFB)
+                vf, wf = tuple(vf), tuple(wf)
+            qd_l = list(qd_l)
+            for lo in link_ops:
                 if lo is None:
                     continue
-                oa, ob = lo
-                if oa is not None:
-                    idx, _, W, cp, _ = oa
-                    dqd = jnp.einsum("ncvk,nck->ncv", W, imp[:, idx])
-                    qd_[g_id] = qd_[g_id].at[:, cp].add(dqd)
-                if ob is not None:
-                    idx, _, W, cp, _ = ob
-                    dqd = jnp.einsum("ncvk,nck->ncv", W, -imp[:, idx])
-                    qd_[g_id] = qd_[g_id].at[:, cp].add(dqd)
-            return v_, w_, tuple(qd_)
+                for sel, sign in ((0, 1.0), (1, -1.0)):
+                    o = lo[sel]
+                    if o is None:
+                        continue
+                    sub = tuple(imp[k][:, o["idx"]] * sign for k in range(3))
+                    cols = []
+                    for v in range(o["nv"]):
+                        acc = (
+                            o["W"][v][0] * sub[0]
+                            + o["W"][v][1] * sub[1]
+                            + o["W"][v][2] * sub[2]
+                        )
+                        cols.append(jnp.einsum("nc,kc->nk", acc, o["oh_cp"]))
+                    qd_l[o["g"]] = qd_l[o["g"]] + jnp.stack(cols, -1)
+            return vf, wf, tuple(qd_l)
 
+        lam_n = zc
+        lamt = (zc, zc, zc)
         if warm is not None and warm[0] is not None:
-            # warm start: re-apply the previous step's impulses on
-            # still-active contacts up front, then refine the deltas —
-            # force chains (heavy stacks) keep converging across steps
-            # instead of being rebuilt from zero every substep. Rebound
-            # energy from stale impulses is bounded by the
-            # max_depenetration_velocity bias cap (without it, deep contacts
-            # plus converged warm impulses become launch-and-bounce cycles).
+            # warm start (see original note): re-apply previous impulses on
+            # still-active rows up front, then refine the deltas
             lam_n = jnp.where(active, warm[0], 0.0)
-            lam_t = jnp.where(active[..., None], warm[1], 0.0)
-            warm_imp = lam_n[..., None] * normal + lam_t
-            free_v, free_w, art_qd = apply_impulse(
-                free_v, free_w, tuple(art_qd), warm_imp
+            lamt = tuple(
+                jnp.where(active, warm[1][..., k], 0.0) for k in range(3)
             )
+            warm_imp = tuple(lam_n * nrm[k] + lamt[k] for k in range(3))
+            vfc, wfc, art_qd = apply_impulse(vfc, wfc, tuple(art_qd), warm_imp)
 
         def iter_body(carry, _):
-            v_, w_, qd_, lam, lamt = carry
-            vr = rel_vel(v_, w_, qd_)
-            vn = jnp.einsum("nck,nck->nc", vr, normal)
+            vf, wf, qd_l, lam, lt = carry
+            vr = rel_vel(vf, wf, qd_l)
+            vn = dotc(vr, nrm)
             dlam = relax * k_n * (target_vn - vn)
             new_lam = jnp.clip(lam + dlam, 0.0, None)
-            dlam = jnp.where(active, new_lam - lam, 0.0)
-            imp = dlam[..., None] * normal
+            dl = jnp.where(active, new_lam - lam, 0.0)
+            imp = [dl * nrm[k] for k in range(3)]
 
-            # friction: ACCUMULATED tangential impulse projected onto the
-            # Coulomb cone |lam_t| <= mu*lam_n — true sticking contact (a
-            # pinched object does not creep under sustained load, which the
-            # per-iteration clamp could never guarantee)
-            vt = vr - vn[..., None] * normal
-            vt_norm = jnp.linalg.norm(vt, axis=-1).clip(1e-9)
-            t_dir = vt / vt_norm[..., None]
+            # friction: ACCUMULATED tangential impulse on the Coulomb cone
+            vt = tuple(vr[k] - vn * nrm[k] for k in range(3))
+            vt_norm = jnp.sqrt(jnp.clip(dotc(vt, vt), 1e-18))
+            t_dir = tuple(vt[k] / vt_norm for k in range(3))
             k_t = eff_mass(t_dir)
-            lamt_raw = lamt - (relax * k_t * vt_norm)[..., None] * t_dir
+            lt_raw = tuple(lt[k] - (relax * k_t) * vt[k] for k in range(3))
             cap = mu * new_lam
-            tnorm = jnp.linalg.norm(lamt_raw, axis=-1).clip(1e-9)
-            new_lamt = lamt_raw * jnp.minimum(1.0, cap / tnorm)[..., None]
-            imp = imp + jnp.where(active[..., None], new_lamt - lamt, 0.0)
+            tnorm = jnp.sqrt(jnp.clip(dotc(lt_raw, lt_raw), 1e-18))
+            scale = jnp.minimum(1.0, cap / tnorm)
+            new_lt = tuple(lt_raw[k] * scale for k in range(3))
+            for k in range(3):
+                imp[k] = imp[k] + jnp.where(active, new_lt[k] - lt[k], 0.0)
 
-            v_, w_, qd_ = apply_impulse(v_, w_, qd_, imp)
-            return (v_, w_, qd_, new_lam, new_lamt), None
+            vf, wf, qd_l = apply_impulse(vf, wf, qd_l, tuple(imp))
+            return (vf, wf, qd_l, new_lam, new_lt), None
 
-        (free_v, free_w, art_qd, lam_n, lam_t), _ = jax.lax.scan(
+        # UNROLLED (capped): the TPU profile of the scanned form showed
+        # ~0.15 ms async copy-start latency per loop-carried/invariant
+        # buffer per iteration (102 copies per 3 steps) — more wall time
+        # than the solver math. Full unroll kills that but compile cost is
+        # linear in the unroll factor, so high-iteration configs (nut-bolt
+        # runs 65) keep a short loop of unrolled blocks.
+        unroll = iters if iters <= 24 else 8
+        (vfc, wfc, art_qd, lam_n, lamt), _ = jax.lax.scan(
             iter_body,
-            (free_v, free_w, tuple(art_qd), lam_n, lam_t),
+            (vfc, wfc, tuple(art_qd), lam_n, lamt),
             None,
             length=iters,
+            unroll=unroll,
         )
+        free_v = jnp.stack(vfc, -1)
+        free_w = jnp.stack(wfc, -1)
 
-        # net contact force per ENV BODY (normal impulses / h), symmetric on
-        # both sides (test12_add_joint.py.py:131 reads forces on links)
-        cf = cf_base
-        f_c = jnp.where(active, lam_n, 0.0)[..., None] * normal * h_inv
-        cf = cf.at[:, jnp.asarray(job.a.body)].add(f_c)
-        has_b = jnp.asarray(np.asarray(job.shape_b) >= 0)
-        cf = cf.at[:, jnp.asarray(job.b.body)].add(
-            jnp.where(has_b[None, :, None], -f_c, 0.0)
-        )
+        # net contact force per ENV BODY (normal impulses / h), symmetric
+        f_cn = jnp.where(active, lam_n, 0.0) * h_inv
+        cf_cols = []
+        for k in range(3):
+            f_k = f_cn * nrm[k]
+            cf_cols.append(
+                jnp.einsum("nc,bc->nb", f_k, jnp.asarray(self._oh_cf_a))
+                - jnp.einsum("nc,bc->nb", f_k, jnp.asarray(self._oh_cf_b))
+            )
+        cf = cf_base + jnp.stack(cf_cols, -1)
+        lam_t = jnp.stack(lamt, -1)
         return free_v, free_w, list(art_qd), cf, (lam_n, lam_t)
 
 
@@ -1511,6 +1708,33 @@ def _pair_allowed(scene, si, sj):
     if (sh.collision_filter[si] & sh.collision_filter[sj]) != 0:
         return False
     return True
+
+
+def _qrot_c(q, v):
+    """Component-form quat rotate: q 4-tuple, v 3-tuple of broadcastable
+    arrays -> 3-tuple. (The (N, C, 3/4) vector form tile-pads 42x on TPU.)"""
+    qx, qy, qz, qw = q
+    vx, vy, vz = v
+    tx = 2 * (qy * vz - qz * vy)
+    ty = 2 * (qz * vx - qx * vz)
+    tz = 2 * (qx * vy - qy * vx)
+    return (
+        vx + qw * tx + (qy * tz - qz * ty),
+        vy + qw * ty + (qz * tx - qx * tz),
+        vz + qw * tz + (qx * ty - qy * tx),
+    )
+
+
+def _qmul_c(a, b):
+    """Component-form quat multiply (xyzw)."""
+    ax, ay, az, aw = a
+    bx, by, bz, bw = b
+    return (
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+        aw * bw - ax * bx - ay * by - az * bz,
+    )
 
 
 def _qconj(q):
