@@ -209,6 +209,59 @@ class LinkSpec:
     geoms: List[GeomSpec] = dataclasses.field(default_factory=list)
     visuals: List[GeomSpec] = dataclasses.field(default_factory=list)
     explicit_inertial: bool = False
+    # FEM soft-body payload (URDF `<fem>` link — the FleX path of
+    # /root/reference/assets/urdf/icosphere.urdf); the link itself stays a
+    # massless rigid placeholder, the tet mesh is simulated by physics/soft.py
+    fem: Optional["FemSpec"] = None
+
+
+@dataclasses.dataclass
+class FemSpec:
+    """Parsed `<fem>` element: tet mesh + material defaults
+    (/root/reference/examples/soft_body.py:86-92 reads youngs/poissons/
+    damping per soft body)."""
+
+    verts: np.ndarray  # (V, 3) in the fem frame
+    tets: np.ndarray  # (T, 4) int32
+    origin_pos: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    origin_quat: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)
+    density: float = 1000.0
+    youngs: float = 1e5
+    poissons: float = 0.45
+    damping: float = 0.0
+    attach_distance: float = 0.0
+
+
+def zero_config_link_pose(asset: "AssetSpec", link_idx: int):
+    """Pose of link `link_idx` in the ASSET ROOT frame at q = 0: compose the
+    inbound joint origin transforms up the parent chain (joint motion is zero,
+    so only the fixed parent/child offsets contribute)."""
+    p = np.zeros(3)
+    q = np.array([0.0, 0.0, 0.0, 1.0])
+    chain = []
+    i = link_idx
+    while i >= 0:
+        chain.append(i)
+        i = asset.links[i].parent
+    for i in reversed(chain):
+        j = asset.links[i].joint
+        if j is None:
+            continue
+        jp = np.asarray(j.parent_pos, np.float64)
+        jq = np.asarray(j.parent_quat, np.float64)
+        p = p + _rot_np(q, jp)
+        q = _quat_mul_np(q, jq)
+        cp = np.asarray(j.child_pos, np.float64)
+        cq = np.asarray(j.child_quat, np.float64)
+        p = p + _rot_np(q, cp)
+        q = _quat_mul_np(q, cq)
+    return p, q
+
+
+def _rot_np(q, v):
+    qv, qw = np.asarray(q[:3]), float(q[3])
+    t = 2.0 * np.cross(qv, v)
+    return np.asarray(v) + qw * t + np.cross(qv, t)
 
 
 @dataclasses.dataclass
@@ -223,6 +276,9 @@ class AssetSpec:
     max_angular_velocity: float = 64.0
     default_dof_drive_mode: int = DOF_MODE_NONE
     file: Optional[str] = None
+    # AssetOptions.thickness: collision margin, consumed by the soft-body
+    # solver (soft_body.py:77 sets 0.1 "to avoid interpenetrations")
+    thickness: float = 0.0
 
     # ---- derived topology -------------------------------------------------
     @property

@@ -290,8 +290,41 @@ def load_urdf(
             for cg in l.geoms:
                 if cg.color is None:
                     cg.color = vis_col
+        fem_el = el.find("fem")
+        if fem_el is not None:
+            # FleX soft-body link (/root/reference/assets/urdf/icosphere.urdf):
+            # tet mesh + material defaults; simulated by physics/soft.py
+            from .types import FemSpec
+            from ..physics.soft import load_tet
+
+            def _val(tag, default):
+                e = fem_el.find(tag)
+                return float(e.get("value")) if e is not None else default
+
+            fpos, fquat = _parse_origin(fem_el.find("origin"))
+            tm = fem_el.find("tetmesh")
+            tet_path = _resolve_mesh_path(
+                tm.get("filename"), urdf_dir, asset_root
+            )
+            tv, tt = load_tet(tet_path)
+            l.fem = FemSpec(
+                verts=tv,
+                tets=tt,
+                origin_pos=tuple(fpos),
+                origin_quat=tuple(fquat),
+                density=_val("density", 1000.0),
+                youngs=_val("youngs", 1e5),
+                poissons=_val("poissons", 0.45),
+                damping=_val("damping", 0.0),
+                attach_distance=_val("attachDistance", 0.0),
+            )
         if not l.explicit_inertial:
             compute_default_inertia(l, density)
+        if l.fem is not None and l.mass == 0.0 and not l.geoms:
+            # massless rigid placeholder for the soft link: keep the joint
+            # chain SPD without affecting dynamics
+            l.mass = 1e-3
+            l.inertia = np.eye(3) * 1e-6
         links_by_name[name] = l
 
     # joints define the tree

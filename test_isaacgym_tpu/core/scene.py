@@ -292,6 +292,8 @@ class Scene:
     attractors: List[AttractorMeta] = dataclasses.field(default_factory=list)
     # per-env attractor init values (N, T, .) used to seed Actions/PhysParams
     attractor_init: Optional[dict] = None
+    # FEM soft-body world (physics/soft.SoftWorld) — None without `<fem>` links
+    soft: Optional[object] = None
 
     @property
     def num_actors_per_env(self):
@@ -749,6 +751,11 @@ class SceneBuilder:
             ).reshape(n_envs, T, 4),
         }
 
+        # --- soft bodies ----------------------------------------------------
+        from ..physics.soft import build_soft_world
+
+        soft = build_soft_world(protos, actors, shapes, self.env_origins[0])
+
         scene = Scene(
             sim_params=self.sim_params,
             num_envs=n_envs,
@@ -774,6 +781,7 @@ class SceneBuilder:
             samples=samples,
             attractors=attr_template,
             attractor_init=attr_init,
+            soft=soft,
         )
 
         # --- initial state -------------------------------------------------
@@ -802,6 +810,12 @@ class SceneBuilder:
             time=jnp.zeros((), f32),
             steps=jnp.zeros((), jnp.int32),
         )
+        if soft is not None:
+            sp0 = soft.verts0[None] + np.asarray(self.env_origins, f32)[:, None]
+            state = state._replace(
+                soft_pos=jnp.asarray(sp0.astype(f32)),
+                soft_vel=jnp.zeros((n_envs, soft.num_verts, 3), f32),
+            )
 
         p = init_dof_props
         tile = lambda x: jnp.asarray(np.tile(np.asarray(x, f32), (n_envs,) + (1,) * np.ndim(x)))
@@ -835,4 +849,14 @@ class SceneBuilder:
             attractor_force_limit=jnp.asarray(attr_init["force_limit"]),
             gravity=jnp.asarray(np.asarray(_vec3t(self.sim_params.gravity), f32)),
         )
+        if soft is not None:
+            params = params._replace(
+                soft_youngs=tile(np.array([i.youngs for i in soft.instances])),
+                soft_poissons=tile(
+                    np.array([i.poissons for i in soft.instances])
+                ),
+                soft_damping=tile(
+                    np.array([i.damping for i in soft.instances])
+                ),
+            )
         return scene, state, params

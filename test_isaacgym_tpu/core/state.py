@@ -50,6 +50,10 @@ class SimState(NamedTuple):
     # stale rows decay naturally (the solver masks by `active` on re-entry).
     warm_n: jax.Array = None
     warm_t: jax.Array = None
+    # FEM soft-body vertex state (N, Vt, 3); None when the scene has no
+    # `<fem>` links (physics/soft.py — SURVEY.md N11)
+    soft_pos: jax.Array = None
+    soft_vel: jax.Array = None
 
     @property
     def num_envs(self):
@@ -132,6 +136,12 @@ class PhysParams(NamedTuple):
     attractor_force_limit: jax.Array
     # globals
     gravity: jax.Array  # (3,)
+    # per-soft-instance FEM materials (N, S_soft); None without soft bodies.
+    # set_actor_soft_materials is a pure update on these
+    # (/root/reference/examples/soft_body.py:120-133 randomizes per env)
+    soft_youngs: jax.Array = None
+    soft_poissons: jax.Array = None
+    soft_damping: jax.Array = None
 
 
 class Actions(NamedTuple):

@@ -204,6 +204,28 @@ class RigidShapeProperties:
 
 
 @dataclasses.dataclass
+class SoftMaterial:
+    """FEM soft-body material record (get/set_actor_soft_materials —
+    /root/reference/examples/soft_body.py:86-133)."""
+
+    youngs: float = 1e5
+    poissons: float = 0.45
+    damping: float = 0.0
+    activation: float = 0.0
+    activationMax: float = 0.0
+    model: int = 0
+
+
+@dataclasses.dataclass
+class TetTriRange:
+    """(start, count) range into the sim-wide tet/tri arrays
+    (get_actor_tetrahedra_range — soft_body.py:166-168)."""
+
+    start: int = 0
+    count: int = 0
+
+
+@dataclasses.dataclass
 class RigidBodyProperties:
     """Per-body inertial record (get/set_actor_rigid_body_properties —
     examples/body_physics_props.py:191-194)."""
@@ -237,6 +259,7 @@ class Sim:
         self._scales: Dict[Tuple[int, int], float] = {}
         self._pos_targets: Dict[Tuple[int, int], np.ndarray] = {}
         self._vel_targets: Dict[Tuple[int, int], np.ndarray] = {}
+        self._pending_dof_targets: list = []  # (env, dof_handle, target)
         # tensor-API buffers
         self._tensors: Dict[str, _TensorHandle] = {}
         self._jacobians: Dict[str, tuple] = {}
@@ -287,6 +310,11 @@ class Sim:
             self._write_targets(e, slot, t, "dof_pos_target")
         for (e, slot), t in self._vel_targets.items():
             self._write_targets(e, slot, t, "dof_vel_target")
+        for (e, dof, tgt) in self._pending_dof_targets:
+            a = self.sim.actions
+            self.sim.actions = a._replace(
+                dof_pos_target=a.dof_pos_target.at[e, dof].set(tgt)
+            )
         self.sim.state = self.sim.stepper.refresh_body_state(
             self.sim.state, self.sim.params
         )
@@ -643,6 +671,7 @@ class Gym:
                 **kw,
             )
         asset.disable_gravity = options.disable_gravity
+        asset.thickness = options.thickness
         asset.linear_damping = options.linear_damping
         asset.angular_damping = options.angular_damping
         asset.max_linear_velocity = options.max_linear_velocity
@@ -728,10 +757,20 @@ class Gym:
         return 0
 
     def get_asset_soft_body_count(self, asset) -> int:
-        return 0  # soft bodies are a documented non-goal of v1 (SURVEY.md N11)
+        """Count of `<fem>` links (soft_body.py:84) — XPBD backend
+        (physics/soft.py, SURVEY.md N11)."""
+        return sum(1 for l in asset.links if getattr(l, "fem", None) is not None)
 
     def get_asset_soft_materials(self, asset) -> list:
-        return []
+        return [
+            SoftMaterial(
+                youngs=l.fem.youngs,
+                poissons=l.fem.poissons,
+                damping=l.fem.damping,
+            )
+            for l in asset.links
+            if getattr(l, "fem", None) is not None
+        ]
 
     # -- actor introspection --------------------------------------------------
     def get_actor_count(self, env: Env) -> int:
@@ -1009,9 +1048,11 @@ class Gym:
 
     # per-DOF classic control (examples/dof_controls.py:96-181)
     def set_dof_target_position(self, env: Env, dof_handle: int, target: float):
-        import jax.numpy as jnp
-
-        env.sim._ensure_built()
+        if not env.sim.built:
+            # called inside the env-creation loop (soft_body.py:137): defer
+            # — finalizing here would break subsequent create_actor calls
+            env.sim._pending_dof_targets.append((env.idx, dof_handle, target))
+            return
         a = env.sim.sim.actions
         env.sim.sim.actions = a._replace(
             dof_pos_target=a.dof_pos_target.at[env.idx, dof_handle].set(target)
@@ -1245,11 +1286,113 @@ class Gym:
     def get_actor_scale(self, env: Env, actor: int) -> float:
         return env.sim._scales.get((env.idx, actor), 1.0)
 
+    def _soft_instances_of(self, env: Env, actor: int):
+        """Soft-instance indices of one actor slot (requires built sim)."""
+        env.sim._ensure_built()
+        soft = env.sim.sim.scene.soft
+        if soft is None:
+            return []
+        return [
+            i for i, inst in enumerate(soft.instances)
+            if inst.actor_slot == actor
+        ]
+
     def get_actor_soft_materials(self, env, actor) -> list:
-        return []
+        import jax.numpy as jnp  # noqa: F401
+
+        idx = self._soft_instances_of(env, actor)
+        p = env.sim.sim.params
+        return [
+            SoftMaterial(
+                youngs=float(p.soft_youngs[env.idx, i]),
+                poissons=float(p.soft_poissons[env.idx, i]),
+                damping=float(p.soft_damping[env.idx, i]),
+            )
+            for i in idx
+        ]
 
     def set_actor_soft_materials(self, env, actor, mats) -> bool:
-        return False  # soft bodies: documented v1 non-goal (SURVEY.md N11)
+        """Per-env material update — a pure array write on PhysParams
+        (soft_body.py:120-133 randomizes Young's/Poisson per env)."""
+        idx = self._soft_instances_of(env, actor)
+        if not idx or len(mats) < len(idx):
+            return False
+        sim = env.sim.sim
+        p = sim.params
+        ii = np.asarray(idx)
+        p = p._replace(
+            soft_youngs=p.soft_youngs.at[env.idx, ii].set(
+                np.asarray([m.youngs for m in mats[: len(idx)]], np.float32)
+            ),
+            soft_poissons=p.soft_poissons.at[env.idx, ii].set(
+                np.asarray([m.poissons for m in mats[: len(idx)]], np.float32)
+            ),
+            soft_damping=p.soft_damping.at[env.idx, ii].set(
+                np.asarray([m.damping for m in mats[: len(idx)]], np.float32)
+            ),
+        )
+        sim.params = p
+        return True
+
+    # -- soft-body introspection (get_sim_tetrahedra/triangles ---------------
+    # soft_body.py:160-186 reads these for stress/pressure viz)
+    def get_sim_tetrahedra(self, sim: Sim):
+        """(tet_indices flat [4*T_sim], tet_stress [(3,3) ndarray per tet])
+        across ALL envs (env-major, like the reference's sim-wide arrays)."""
+        sim._ensure_built()
+        soft = sim.sim.scene.soft
+        if soft is None:
+            return [], []
+        st = sim.sim.stepper.soft
+        import jax
+
+        stress = np.asarray(
+            jax.jit(st.tet_stress)(sim.sim.state.soft_pos, sim.sim.params)
+        )  # (N, T, 3, 3)
+        N = stress.shape[0]
+        V = soft.num_verts
+        idx = (
+            soft.tets[None, :, :] + (np.arange(N) * V)[:, None, None]
+        ).reshape(-1)
+        return idx.tolist(), list(stress.reshape(-1, 3, 3))
+
+    def get_sim_triangles(self, sim: Sim):
+        """(tri_indices flat [3*S_sim], tri_parents [S_sim], tri_normals)."""
+        sim._ensure_built()
+        soft = sim.sim.scene.soft
+        if soft is None:
+            return [], [], []
+        st = sim.sim.stepper.soft
+        import jax
+
+        normals = np.asarray(jax.jit(st.tri_normals)(sim.sim.state.soft_pos))
+        N = normals.shape[0]
+        V, T, S = soft.num_verts, soft.num_tets, len(soft.tris)
+        idx = (
+            soft.tris[None, :, :] + (np.arange(N) * V)[:, None, None]
+        ).reshape(-1)
+        par = (
+            soft.tri_parent[None, :] + (np.arange(N) * T)[:, None]
+        ).reshape(-1)
+        return idx.tolist(), par.tolist(), list(normals.reshape(-1, 3))
+
+    def get_actor_tetrahedra_range(self, env: Env, actor: int, soft_index: int):
+        idx = self._soft_instances_of(env, actor)
+        soft = env.sim.sim.scene.soft
+        inst = soft.instances[idx[soft_index]]
+        return TetTriRange(
+            start=env.idx * soft.num_tets + inst.tet_start,
+            count=inst.tet_count,
+        )
+
+    def get_actor_triangle_range(self, env: Env, actor: int, soft_index: int):
+        idx = self._soft_instances_of(env, actor)
+        soft = env.sim.sim.scene.soft
+        inst = soft.instances[idx[soft_index]]
+        return TetTriRange(
+            start=env.idx * len(soft.tris) + inst.tri_start,
+            count=inst.tri_count,
+        )
 
     # -- tensor API -----------------------------------------------------------
     def _acquire(self, sim: Sim, name: str, shape) -> _TensorHandle:
@@ -1646,15 +1789,25 @@ class Gym:
                 int(getattr(sensor.props, "supersampling_horizontal", 1)),
                 int(getattr(sensor.props, "supersampling_vertical", 1)),
             )
-            rgba, depth, seg = render_camera_batch(
+            tbl = sim._render_tables
+            flow_kw = {}
+            if sensor.want_flow:
+                body = np.asarray(tbl.body)
+                flow_kw = dict(
+                    body_lin=s.state.body_linvel[:, body],
+                    body_ang=s.state.body_angvel[:, body],
+                    body_ctr=s.state.body_pos[:, body],
+                    flow_dt=float(s.scene.sim_params.dt),
+                )
+            rgba, depth, seg, flow = render_camera_batch(
                 cp,
                 cq,
                 sp,
                 sq,
                 s.params.shape_size,
-                sim._render_tables.kind,
+                tbl.kind,
                 sim._shape_color,
-                sim._render_tables.seg,
+                tbl.seg,
                 ground,
                 np.asarray(ldir / max(np.linalg.norm(ldir), 1e-9), np.float32),
                 np.asarray(color, np.float32),
@@ -1663,14 +1816,19 @@ class Gym:
                 hfov,
                 tex,
                 tex_id,
+                mesh_rows=tuple(int(r) for r in tbl.mesh_rows),
+                mesh_planes=tbl.mesh_planes,
+                mesh_base=tbl.mesh_base,
                 width=sensor.props.width,
                 height=sensor.props.height,
                 far=float(sensor.props.far_plane),
                 ss=ss,
+                **flow_kw,
             )
             sensor.color = np.asarray(rgba)
             sensor.depth = np.asarray(depth)
             sensor.segmentation = np.asarray(seg)
+            sensor.flow = np.asarray(flow) if flow is not None else None
 
     def get_camera_image(self, sim: Sim, env: Env, cam: int, kind: int):
         sensor = sim.cameras[cam]
@@ -1683,6 +1841,14 @@ class Gym:
             return sensor.depth[env.idx]
         if kind == IMAGE_SEGMENTATION:
             return sensor.segmentation[env.idx]
+        if kind == IMAGE_OPTICAL_FLOW:
+            # (H, W, 2) pixel displacement since the previous frame
+            # (graphics.py:225-238's fourth image type): rendered lazily —
+            # the first request flips want_flow and re-renders
+            if not sensor.want_flow or sensor.flow is None:
+                sensor.want_flow = True
+                self.render_all_camera_sensors(sim)
+            return sensor.flow[env.idx]
         raise ValueError(f"unsupported image type {kind}")
 
     def get_camera_image_gpu_tensor(self, sim: Sim, env: Env, cam: int, kind: int):

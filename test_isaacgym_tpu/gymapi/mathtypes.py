@@ -236,7 +236,16 @@ class Transform:
 
     @staticmethod
     def from_buffer(buf) -> "Transform":
-        """7 floats [px py pz qx qy qz qw] — examples/transforms.py:103-123."""
+        """7 floats [px py pz qx qy qz qw] OR one structured ('p','r') pose
+        record (the rigid_body_states['pose'] rows —
+        examples/transforms.py:103-123)."""
+        a = np.asarray(buf)
+        if a.dtype.names and "p" in a.dtype.names:
+            p, r = a["p"], a["r"]
+            return Transform(
+                Vec3(float(p["x"]), float(p["y"]), float(p["z"])),
+                Quat(float(r["x"]), float(r["y"]), float(r["z"]), float(r["w"])),
+            )
         b = np.asarray(buf, dtype=np.float64).reshape(-1)
         return Transform(Vec3(b[0], b[1], b[2]), Quat(b[3], b[4], b[5], b[6]))
 

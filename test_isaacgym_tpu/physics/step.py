@@ -120,6 +120,12 @@ class Stepper:
                     "attractors are only supported on articulated bodies"
                 )
         self.contact = contacts_mod.ContactSolver(scene)
+        if scene.soft is not None:
+            from .soft import SoftStepper
+
+            self.soft = SoftStepper(scene.soft, scene)
+        else:
+            self.soft = None
         sp = scene.sim_params
         self.dt = sp.dt
         self.substeps = max(1, sp.substeps)
@@ -146,6 +152,16 @@ class Stepper:
             state, warm = self._substep(
                 state, actions, params, reuse_body_state=first, warm=warm
             )
+            if self.soft is not None:
+                # one-way coupled FEM solve (physics/soft.py): soft verts see
+                # this substep's rigid poses (body cache refreshes at step
+                # end — the press arm lags one substep, invisible at 1/60)
+                sp, sv = self.soft.substep(
+                    state.soft_pos, state.soft_vel,
+                    state.body_pos, state.body_quat,
+                    params, self.h, params.gravity,
+                )
+                state = state._replace(soft_pos=sp, soft_vel=sv)
             first = False
         state = self.refresh_body_state(state, params)
         if warm is not None and state.warm_n is not None:

@@ -61,6 +61,10 @@ class CameraSensor:
     color: Optional[np.ndarray] = None
     depth: Optional[np.ndarray] = None
     segmentation: Optional[np.ndarray] = None
+    # optical flow (N, H, W, 2) in pixels — rendered once a consumer asks
+    # for IMAGE_OPTICAL_FLOW (want_flow flips on first request)
+    flow: Optional[np.ndarray] = None
+    want_flow: bool = False
 
     def __post_init__(self):
         n = self.num_envs

@@ -54,6 +54,16 @@ class RenderTables(NamedTuple):
     quat: np.ndarray  # (S, 4) shape rot in link frame
     color: np.ndarray  # (S, 3) albedo
     seg: np.ndarray  # (S,) actor segmentation id
+    # mesh silhouettes: convex-hull plane tables for SHAPE_MESH rows so a
+    # franka link renders as its VHACD hull instead of a bounding box
+    # (reference renders real visual meshes — graphics.py, kuka_bin.py:111;
+    # the hull is the committed LOD). mesh_rows (Sm,) indexes the S axis;
+    # mesh_planes (Sm, F, 4) LOCAL [n, d] rows padded with (0,0,0,1);
+    # mesh_base (Sm, 3) the build-time AABB half extents (runtime
+    # shape_size / mesh_base = render scale).
+    mesh_rows: np.ndarray
+    mesh_planes: np.ndarray
+    mesh_base: np.ndarray
 
 
 def tables_from_scene(scene: Scene) -> RenderTables:
@@ -69,12 +79,38 @@ def tables_from_scene(scene: Scene) -> RenderTables:
                     colors[i] = g.color
                 seg[i] = p.seg_id
                 i += 1
+
+    # hull plane tables for mesh shapes
+    from ..physics.contacts import _hull_planes
+
+    mesh_rows, plane_sets = [], []
+    if sh.hull_id is not None:
+        for s in range(sh.count):
+            hid = sh.hull_id[s]
+            if sh.kind[s] == SHAPE_MESH and hid >= 0 and len(scene.hulls[hid]) >= 4:
+                mesh_rows.append(s)
+                plane_sets.append(_hull_planes(np.asarray(scene.hulls[hid])))
+    if mesh_rows:
+        F = max(len(pl) for pl in plane_sets)
+        planes = np.zeros((len(mesh_rows), F, 4), np.float32)
+        planes[..., 3] = -1.0  # pad rows: 0.x - 1 <= 0, never constrains
+        for k, pl in enumerate(plane_sets):
+            planes[k, : len(pl)] = pl
+        base = np.maximum(
+            np.asarray(sh.size, np.float32)[mesh_rows], 1e-6
+        )
+    else:
+        planes = np.zeros((0, 1, 4), np.float32)
+        base = np.zeros((0, 3), np.float32)
     return RenderTables(
         body=np.asarray(sh.body_slot, np.int32),
         kind=np.asarray(sh.kind, np.int32),
         quat=np.asarray(sh.quat, np.float32),
         color=colors,
         seg=seg,
+        mesh_rows=np.asarray(mesh_rows, np.int32),
+        mesh_planes=planes,
+        mesh_base=base,
     )
 
 
@@ -112,6 +148,30 @@ def _ray_box(o, d, half):
     hit = (tmax >= jnp.maximum(tmin, 1e-4)) & (tmax > 0)
     t = jnp.where(tmin > 1e-4, tmin, tmax)
     return jnp.where(hit, t, BIG)
+
+
+def _ray_convex(o, d, planes):
+    """Ray vs convex solid from outward planes (n.x + d_pl <= 0 inside,
+    contacts._hull_planes convention). o, d (..., 3); planes (..., F, 4)
+    broadcastable. Returns (t, n_hit) — entry distance or BIG, and the unit
+    normal of the entering face."""
+    n = planes[..., :3]
+    dpl = planes[..., 3]
+    dn = jnp.einsum("...k,...fk->...f", d, n)  # (..., F)
+    f0 = jnp.einsum("...k,...fk->...f", o, n) + dpl
+    safe = jnp.where(jnp.abs(dn) < 1e-9, jnp.where(dn >= 0, 1e-9, -1e-9), dn)
+    t_pl = -f0 / safe
+    lower = jnp.where(dn < -1e-9, t_pl, -BIG)
+    upper = jnp.where(dn > 1e-9, t_pl, BIG)
+    # parallel + outside: miss
+    miss_par = ((jnp.abs(dn) <= 1e-9) & (f0 > 0)).any(-1)
+    tmin = jnp.max(lower, axis=-1)
+    kmin = jnp.argmax(lower, axis=-1)
+    tmax = jnp.min(upper, axis=-1)
+    hit = (~miss_par) & (tmax >= jnp.maximum(tmin, 1e-4)) & (tmax > 0)
+    t = jnp.where(tmin > 1e-4, tmin, tmax)
+    n_hit = jnp.take_along_axis(n, kmin[..., None, None], axis=-2)[..., 0, :]
+    return jnp.where(hit, t, BIG), n_hit
 
 
 def _ray_capsule(o, d, r, hl):
@@ -193,6 +253,9 @@ def render_rays(
     bg,  # (3,)
     tex=None,  # (T, R, R, 3) float atlas or None
     tex_id=None,  # (S,) int, -1 = untextured
+    mesh_rows=None,  # STATIC (Sm,) np indices of hull-rendered mesh shapes
+    mesh_planes=None,  # (Sm, F, 4) local hull planes (unit-scale frame)
+    mesh_base=None,  # (Sm, 3) build-time AABB halves (scale reference)
 ):
     """Single-env raycast; callers vmap over envs. P = H*W rays."""
     S = shape_pos.shape[0]
@@ -206,13 +269,41 @@ def render_rays(
     hl = shape_size[None, :, 1]
     half = shape_size[None, :, :]
 
+    use_hull = mesh_rows is not None and len(mesh_rows) > 0
+    hull_mask = np.zeros(S, bool)
+    if use_hull:
+        hull_mask[np.asarray(mesh_rows)] = True
+
     t_sph = _ray_sphere(o_l, d_l, jnp.zeros_like(o_l), r)
     t_box = _ray_box(o_l, d_l, half)
     t_cap = _ray_capsule(o_l, d_l, r, hl)
     k = kind[None, :]
     t = jnp.where(k == SHAPE_SPHERE, t_sph, BIG)
-    t = jnp.where((k == SHAPE_BOX) | (k == SHAPE_MESH), t_box, t)
+    box_like = (k == SHAPE_BOX) | (
+        (k == SHAPE_MESH) & ~jnp.asarray(hull_mask)[None]
+    )
+    t = jnp.where(box_like, t_box, t)
     t = jnp.where(k == SHAPE_CAPSULE, t_cap, t)  # (P, S)
+
+    n_hull = None
+    if use_hull:
+        # mesh silhouettes: ray vs the VHACD/convex hull (real mesh LOD —
+        # graphics.py-class scenes stop rendering franka links as boxes).
+        # Runtime scale folds into the planes: solid x' = sig*x =>
+        # (n/sig).x' + d <= 0, renormalized.
+        mr = np.asarray(mesh_rows)
+        sig = shape_size[mr] / jnp.asarray(mesh_base)  # (Sm, 3)
+        m = jnp.asarray(mesh_planes[..., :3]) / sig[:, None, :]
+        ln = jnp.linalg.norm(m, axis=-1).clip(1e-9)
+        pl_s = jnp.concatenate(
+            [m / ln[..., None], (jnp.asarray(mesh_planes[..., 3]) / ln)[..., None]],
+            axis=-1,
+        )
+        t_m, n_m = _ray_convex(o_l[:, mr], d_l[:, mr], pl_s[None])
+        t = t.at[:, mr].set(t_m)
+        n_hull = n_m  # (P, Sm, 3) local-frame entering normals
+        inv_mesh = np.full(S, 0, np.int32)
+        inv_mesh[mr] = np.arange(len(mr))
 
     best = jnp.argmin(t, axis=1)  # (P,)
     t_best = jnp.take_along_axis(t, best[:, None], axis=1)[:, 0]
@@ -251,6 +342,10 @@ def render_rays(
         n_sphere,
         jnp.where((kb == SHAPE_CAPSULE)[:, None], n_cap, n_box),
     )
+    if n_hull is not None:
+        is_hull_best = jnp.asarray(hull_mask)[best]
+        nm_best = n_hull[jnp.arange(n_hull.shape[0]), jnp.asarray(inv_mesh)[best]]
+        n_l = jnp.where(is_hull_best[:, None], nm_best, n_l)
     n_w = quat_rotate(sq, n_l)
     n_w = jnp.where(hit_gnd[:, None], jnp.broadcast_to(gn, n_w.shape), n_w)
     n_w = n_w / jnp.linalg.norm(n_w, axis=-1, keepdims=True).clip(1e-9)
@@ -275,7 +370,7 @@ def render_rays(
     )
 
     seg_img = jnp.where(hit_shape, seg[best], 0)
-    return rgba, t_final, (hit_shape | hit_gnd), seg_img
+    return rgba, t_final, (hit_shape | hit_gnd), seg_img, best, hit_shape
 
 
 def camera_rays(props_w, props_h, hfov_deg, quat, dtype=jnp.float32):
@@ -298,7 +393,9 @@ def camera_rays(props_w, props_h, hfov_deg, quat, dtype=jnp.float32):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "far", "ss", "cull_max"),
+    static_argnames=(
+        "width", "height", "far", "ss", "cull_max", "mesh_rows", "flow_dt",
+    ),
 )
 def render_camera_batch(
     cam_pos,  # (N, 3) world
@@ -317,20 +414,35 @@ def render_camera_batch(
     hfov=90.0,  # TRACED: scalar or (N,) per-env fov degrees
     tex=None,  # (T, R, R, 3) atlas (optional)
     tex_id=None,  # (S,) or (N, S) int, -1 untextured (optional)
+    mesh_rows=None,  # STATIC (Sm,) np — hull-rendered mesh shapes
+    mesh_planes=None,  # (Sm, F, 4) local hull planes
+    mesh_base=None,  # (Sm, 3)
+    body_lin=None,  # (N, S, 3) per-SHAPE body linear velocity (flow)
+    body_ang=None,  # (N, S, 3)
+    body_ctr=None,  # (N, S, 3) body origins (angular arm)
     *,
     width: int,
     height: int,
     far: float,
     ss: int = 1,
     cull_max: int = 256,
+    flow_dt: float = 0.0,
 ):
     """vmapped over envs. Returns (rgba u8 (N,H,W,4), depth f32 (N,H,W),
-    seg i32 (N,H,W)). depth is negative view depth, -inf for no hit.
+    seg i32 (N,H,W), flow f32 (N,H,W,2)|None). depth is negative view
+    depth, -inf for no hit.
 
     ss > 1 renders at (ss*H, ss*W) and box-downsamples (supersampling_h/v).
     Scenes with more than cull_max shapes are coarsely culled per env:
     the cull_max nearest shapes whose bounding sphere overlaps the view
-    cone enter the ray loop."""
+    cone enter the ray loop (the mesh-hull pass is skipped under culling —
+    meshes degrade to their boxes there; large culled scenes are ball
+    worlds).
+
+    flow_dt > 0 with body_lin/ang/ctr given produces IMAGE_OPTICAL_FLOW:
+    per-pixel (du, dv) in PIXELS between the previous frame (hit points
+    reprojected back by their body velocity x dt) and this one
+    (graphics.py:225-238's fourth image type)."""
     color = jnp.asarray(color)
     per_env_color = color.ndim == 3
     hfov = jnp.asarray(hfov, jnp.float32)
@@ -346,7 +458,12 @@ def render_camera_batch(
     per_env_tex = tex_id is not None and tex_id.ndim == 2
     rw, rh = width * ss, height * ss
 
-    def one(cp, cq, sp, sq, ssize, col, fov, tid):
+    want_flow = flow_dt > 0 and body_lin is not None
+    use_mesh = (
+        mesh_rows is not None and len(mesh_rows) > 0 and not do_cull
+    )
+
+    def one(cp, cq, sp, sq, ssize, col, fov, tid, bvel):
         if do_cull:
             # bounding sphere vs view cone (conservative): keep the
             # cull_max nearest shapes that can intersect the frustum
@@ -371,13 +488,37 @@ def render_camera_batch(
         else:
             col_k, kind_k, seg_k, tid_k = col, kind, seg, tid
         dirs, fwd = camera_rays(rw, rh, fov, cq)
-        rgba, t, hit, seg_img = render_rays(
+        rgba, t, hit, seg_img, best, hit_shape = render_rays(
             cp, dirs, sp, sq, ssize, kind_k, col_k, seg_k,
             ground, light_dir, light_color, ambient, bg,
             tex=tex, tex_id=tid_k,
+            mesh_rows=mesh_rows if use_mesh else None,
+            mesh_planes=mesh_planes if use_mesh else None,
+            mesh_base=mesh_base if use_mesh else None,
         )
         zdepth = t * (dirs @ fwd)
         depth = jnp.where(hit & (t < far), -zdepth, -jnp.inf)
+        flow = None
+        if want_flow:
+            bl, ba, bc = bvel
+            p_hit = cp[None, :] + t[:, None] * dirs
+            v_hit = bl[best] + jnp.cross(ba[best], p_hit - bc[best])
+            v_hit = jnp.where(hit_shape[:, None], v_hit, 0.0)
+            p_prev = p_hit - flow_dt * v_hit
+            dc = quat_rotate_inverse(cq[None], p_prev - cp[None])
+            fx = rw / 2 / jnp.tan(jnp.deg2rad(fov) / 2)
+            x = jnp.clip(dc[..., 0], 1e-6)
+            u_prev = -dc[..., 1] / x * fx + rw / 2 - 0.5
+            v_prev = -dc[..., 2] / x * fx + rh / 2 - 0.5
+            uu, vv = jnp.meshgrid(
+                jnp.arange(rw, dtype=jnp.float32),
+                jnp.arange(rh, dtype=jnp.float32),
+            )
+            du = uu.reshape(-1) - u_prev
+            dv = vv.reshape(-1) - v_prev
+            flow = jnp.where(
+                hit_shape[:, None], jnp.stack([du, dv], -1), 0.0
+            ).reshape(rh, rw, 2)
         rgba = rgba.reshape(rh, rw, 4)
         depth = depth.reshape(rh, rw)
         seg_img = seg_img.reshape(rh, rw)
@@ -385,10 +526,13 @@ def render_camera_batch(
             rgba = rgba.reshape(height, ss, width, ss, 4).mean((1, 3))
             depth = depth.reshape(height, ss, width, ss).max((1, 3))
             seg_img = seg_img.reshape(height, ss, width, ss)[:, 0, :, 0]
+            if flow is not None:
+                flow = flow.reshape(height, ss, width, ss, 2).mean((1, 3)) / ss
         return (
             (rgba * 255).astype(jnp.uint8),
             depth.astype(jnp.float32),
             seg_img.astype(jnp.int32),
+            flow if flow is not None else jnp.zeros((height, width, 2)),
         )
 
     in_axes = (
@@ -396,11 +540,14 @@ def render_camera_batch(
         0 if per_env_color else None,
         0,
         0 if per_env_tex else None,
+        0 if want_flow else None,
     )
-    return jax.vmap(one, in_axes=in_axes)(
+    bvel = (body_lin, body_ang, body_ctr) if want_flow else None
+    rgba, depth, seg, flow = jax.vmap(one, in_axes=in_axes)(
         cam_pos, cam_quat, shape_pos_w, shape_quat_w, shape_size, color,
-        hfov_b, tex_id,
+        hfov_b, tex_id, bvel,
     )
+    return rgba, depth, seg, (flow if want_flow else None)
 
 
 def shape_world_poses(state, params, tables: RenderTables, scene: Scene):
