@@ -58,12 +58,17 @@ def sdf_from_mesh(
     resolution: int = SDF_RES,
     pad: int = 3,
 ) -> SdfGrid:
-    """Voxel SDF of a closed triangle mesh, cached on disk by mesh hash.
+    """Voxel SDF of a triangle mesh, cached on disk by mesh hash.
 
-    Method: scatter surface samples into the voxel grid, flood the interior
-    (binary_fill_holes — through-holes like a nut's bore stay open), then
-    signed distance = EDT(outside) - EDT(inside). Accuracy ~= half a voxel,
-    absorbed by the solver's contact/rest offsets.
+    Method: scatter surface samples into the voxel grid for the DISTANCE
+    field, and sign voxels by TRIANGLE RAY-PARITY along each grid axis with
+    a 2-of-3 majority vote, then signed distance = EDT(outside) -
+    EDT(inside). The parity vote is what makes OPEN production meshes work:
+    the reference's nut OBJ is a hex shell + thread tube with NO end caps
+    (8k boundary edges), so flood-fill finds no interior at all — but
+    x/y-axis rays still cross the wall correctly and outvote the capless z
+    axis (PhysX's SDF cooker is robust to these meshes the same way).
+    Accuracy ~= half a voxel, absorbed by the solver's contact/rest offsets.
     """
     from scipy import ndimage
 
@@ -75,7 +80,7 @@ def sdf_from_mesh(
     h = hashlib.sha1(np.ascontiguousarray(verts).tobytes())
     if faces is not None:
         h.update(np.ascontiguousarray(faces, np.int32).tobytes())
-    h.update(f"res={resolution}:pad={pad}:v2".encode())
+    h.update(f"res={resolution}:pad={pad}:v3-parity".encode())
     cache = os.path.join(_CACHE_DIR, h.hexdigest() + ".npz")
     if os.path.exists(cache):
         z = np.load(cache)
@@ -117,13 +122,77 @@ def sdf_from_mesh(
     surf = np.zeros((resolution,) * 3, bool)
     surf[idx[:, 0], idx[:, 1], idx[:, 2]] = True
 
-    inside = ndimage.binary_fill_holes(surf)
+    if faces is not None and len(faces) > 0:
+        votes = np.zeros((resolution,) * 3, np.int8)
+        f3 = np.asarray(faces, np.int64).reshape(-1, 3)
+        tris = verts[f3]  # (F, 3, 3)
+        for ax in range(3):
+            votes += _ray_parity(tris, origin, spacing, resolution, ax)
+        inside = votes >= 2
+        # a shell voxel counts as inside so the surface sits at phi ~ 0
+        inside |= surf
+    else:
+        inside = ndimage.binary_fill_holes(surf)
     d_out = ndimage.distance_transform_edt(~inside, sampling=spacing)
     d_in = ndimage.distance_transform_edt(inside, sampling=spacing)
     data = (d_out - d_in).astype(np.float32)
 
     np.savez_compressed(cache, data=data, origin=origin, spacing=spacing)
     return SdfGrid(data, origin.astype(np.float32), spacing)
+
+
+def _ray_parity(tris, origin, spacing, resolution, axis):
+    """Inside mask by crossing parity along `axis`: for every grid column,
+    count triangle crossings below each voxel center; odd = inside.
+    Vectorized per triangle over its projected bbox cells; crossings land in
+    a (res^3) count array and a cumsum mod 2 gives the parity. ~0.5 s for a
+    10k-triangle mesh at 128^3."""
+    a0, a1 = (axis + 1) % 3, (axis + 2) % 3
+    res = resolution
+    counts = np.zeros((res, res, res), np.int32)
+    # cell centers along the two projected axes
+    c0 = origin[a0] + spacing[a0] * np.arange(res)
+    c1 = origin[a1] + spacing[a1] * np.arange(res)
+    pa, pb, pc = tris[:, 0], tris[:, 1], tris[:, 2]
+    for t in range(len(tris)):
+        A, B, C = pa[t], pb[t], pc[t]
+        lo0 = min(A[a0], B[a0], C[a0]); hi0 = max(A[a0], B[a0], C[a0])
+        lo1 = min(A[a1], B[a1], C[a1]); hi1 = max(A[a1], B[a1], C[a1])
+        i0 = np.searchsorted(c0, [lo0, hi0]); i1 = np.searchsorted(c1, [lo1, hi1])
+        if i0[1] <= i0[0] or i1[1] <= i1[0]:
+            continue
+        g0 = c0[i0[0]:i0[1]]
+        g1 = c1[i1[0]:i1[1]]
+        P0, P1 = np.meshgrid(g0, g1, indexing="ij")
+        # barycentric in the projected plane
+        d00 = B[a0] - A[a0]; d01 = B[a1] - A[a1]
+        d10 = C[a0] - A[a0]; d11 = C[a1] - A[a1]
+        det = d00 * d11 - d01 * d10
+        if abs(det) < 1e-18:
+            continue
+        e0 = P0 - A[a0]; e1 = P1 - A[a1]
+        u = (e0 * d11 - e1 * d10) / det
+        v = (-e0 * d01 + e1 * d00) / det
+        hit = (u >= 0) & (v >= 0) & (u + v <= 1)
+        if not hit.any():
+            continue
+        zc = A[axis] + u * (B[axis] - A[axis]) + v * (C[axis] - A[axis])
+        iz = np.clip(
+            np.round((zc - origin[axis]) / spacing[axis]).astype(np.int64),
+            0, res - 1,
+        )
+        hi, hj = np.nonzero(hit)
+        ii = hi + i0[0]
+        jj = hj + i1[0]
+        kk = iz[hit]
+        if axis == 0:
+            np.add.at(counts, (kk, ii, jj), 1)
+        elif axis == 1:
+            np.add.at(counts, (jj, kk, ii), 1)
+        else:
+            np.add.at(counts, (ii, jj, kk), 1)
+    par = np.cumsum(counts, axis=axis) % 2
+    return par.astype(np.int8)
 
 
 def sdf_from_fn(
@@ -144,6 +213,39 @@ def sdf_from_fn(
     p = np.stack([X, Y, Z], -1).reshape(-1, 3).astype(np.float32)
     data = np.asarray(fn(p), np.float32).reshape((resolution,) * 3)
     return SdfGrid(data, origin, spacing)
+
+
+def sample_hull_surface(verts: np.ndarray, n: int = 64, seed: int = 0) -> np.ndarray:
+    """n points spread over the convex hull's SURFACE (area-weighted
+    per-face sampling). Hull-vert probes alone put every contact point at a
+    shape's CORNERS — a gripper pad squeezing a nut then bites only at its
+    edges and squirts the nut out; face-distributed probes give the flat
+    pinch the reference's SDF contact produces
+    (franka_nut_bolt_ik_osc.py gripper phases)."""
+    v = np.asarray(verts, np.float64)
+    rng = np.random.RandomState(seed)
+    try:
+        from scipy.spatial import ConvexHull
+
+        hull = ConvexHull(v)
+        tris = v[hull.simplices]  # (F, 3, 3)
+    except Exception:
+        return farthest_point_sample(v, n).astype(np.float32)
+    ab = tris[:, 1] - tris[:, 0]
+    ac = tris[:, 2] - tris[:, 0]
+    area = 0.5 * np.linalg.norm(np.cross(ab, ac), axis=-1)
+    probs = area / max(area.sum(), 1e-12)
+    fi = rng.choice(len(tris), size=n, p=probs)
+    r1, r2 = rng.uniform(size=(2, n))
+    s = np.sqrt(r1)
+    pts = (
+        tris[fi, 0] * (1 - s)[:, None]
+        + tris[fi, 1] * (s * (1 - r2))[:, None]
+        + tris[fi, 2] * (s * r2)[:, None]
+    )
+    # include the verts themselves so edge/corner extremes stay covered
+    both = np.concatenate([pts, v], 0)[: n + len(v)]
+    return both.astype(np.float32)
 
 
 def farthest_point_sample(verts: np.ndarray, n: int) -> np.ndarray:

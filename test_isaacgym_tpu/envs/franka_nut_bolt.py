@@ -1,0 +1,397 @@
+"""Full Franka nut-bolt screwing task: ARM-driven pick -> place -> screw.
+
+Counterpart of /root/reference/examples/franka_nut_bolt_ik_osc.py — the
+single hardest contact-rich behavior in the reference: the 11-state ScrewFSM
+(:41-203) drives the Franka with damped-least-squares IK (:33-37, damping
+0.15 :244) to pick the free nut off the table, place it over the fixed bolt,
+and SCREW it down by twisting the wrist ±60 deg at 30 deg/s with re-grips
+(screw_motion -> ungrip_screw -> rotate_back -> back_to_screw_grip ->
+screw_motion). The nut descends because gripper FRICTION carries the forced
+wrist rotation into the SDF thread contact — nothing is kinematically spun
+(envs/nut_bolt.py keeps the servoed variant as the physics unit test).
+
+Differences from the reference, by design:
+  * the FSM is batched jnp (state int per env, jnp.where target selection) —
+    the reference runs one Python FSM object per env on the CPU (:436);
+  * the bolt mesh+SDF are generated from the thread parameters
+    (assets/sdf.BoltSpec) because the reference's bolt OBJ is a stripped
+    blob; the nut is the real nut_m4_tight 5x asset;
+  * shape-prop tuning matches :387-414 (bolt friction 0, nut friction 0.2,
+    PhysX AVERAGE combine).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..assets import create_mesh_asset, load_urdf
+from ..assets.primitives import create_box
+from ..assets.sdf import BoltSpec, bolt_mesh, bolt_sdf_fn, sdf_from_fn
+from ..control.osc import control_ik, orientation_error
+from ..core.config import PlaneParams, SimParams
+from ..core.scene import SceneBuilder
+from ..core.sim import Simulator
+from ..core.state import SimState
+from ..math.quat import quat_mul
+
+ASSET_ROOT = "/root/reference/assets"
+TABLE_DIMS = (0.6, 1.0, 0.4)
+
+# FSM states (reference :78-180)
+(S_ABOVE_NUT, S_PREP_GRIP, S_GRIP, S_LIFT, S_ABOVE_BOLT, S_ON_BOLT,
+ S_LOOSEN, S_SCREW, S_UNGRIP, S_ROTBACK, S_REGRIP) = range(11)
+
+DOWN_Q = jnp.array([1.0, 0.0, 0.0, 0.0])  # hand straight down (:61)
+
+
+def _z_quat(angle):
+    """quat_from_angle_axis about +z, batched angle."""
+    half = angle / 2
+    z = jnp.zeros_like(half)
+    return jnp.stack([z, z, jnp.sin(half), jnp.cos(half)], axis=-1)
+
+
+class ScrewState(NamedTuple):
+    sim: SimState
+    fsm: jax.Array  # (N,) int32 state
+    screw_angle: jax.Array  # (N,) wrist screw phase (rad)
+
+
+@dataclasses.dataclass
+class FrankaNutBoltEnv:
+    num_envs: int = 4
+    seed: int = 42
+    ik_damping: float = 0.15  # reference :244
+    screw_speed: float = np.deg2rad(30.0)  # :437
+    screw_limit: float = np.deg2rad(60.0)  # :437
+    nut_height: float = 0.016  # :437
+    bolt_height: float = 0.1  # :437 (FSM margin constant, not geometry)
+    # start with the nut already threaded at the bolt top and the FSM in
+    # LOOSEN: exercises the screw cycle without the table pick.
+    start_on_bolt: bool = False
+    # screw-phase gripper separation. The reference uses 0.037 (:126-180)
+    # for its contact model; OUR nut measures exactly 0.035 across flats,
+    # so 0.037 leaves the flat-aligned pads hovering 1 mm clear and the
+    # wrist spins uselessly (measured: hand sweeps +-60 deg, sep pinned at
+    # 0.0370, nut yaw frozen). 0.0345 squeezes the flats ~0.25 mm each
+    # side — friction drive with pad mu 4.0 turns the nut while it stays
+    # free to slide down the thread.
+    screw_sep: float = 0.0345
+
+    def __post_init__(self):
+        sp = SimParams(dt=1 / 60, substeps=2, gravity=(0.0, 0.0, -9.8))
+        sp.physx.num_position_iterations = 32  # :231
+        sp.physx.num_velocity_iterations = 1
+        sp.physx.rest_offset = 0.0
+        sp.physx.contact_offset = 0.005  # :234
+        sp.physx.contact_slop = 5e-4
+
+        spec = BoltSpec(scale=5.0)
+        s = spec.scale
+        l, hh, hr = spec.length * s, spec.head_h * s, spec.head_r * s
+        self.bolt_half_z = (l + hh) * 0.5
+        bolt_grid = sdf_from_fn(
+            bolt_sdf_fn(spec), (-hr, -hr, -self.bolt_half_z),
+            (hr, hr, self.bolt_half_z),
+        )
+        bv, bf = bolt_mesh(spec)
+        bolt = create_mesh_asset(
+            "bolt", bv, bf, density=800.0, sdf=bolt_grid, fix_base_link=True
+        )
+        nut = load_urdf(
+            ASSET_ROOT, "urdf/nut_bolt/nut_m4_tight_SI_5x.urdf", density=800.0
+        )
+        for link in nut.links:
+            for g in link.geoms:
+                g.friction = 0.2  # :407
+                g.restitution = 0.0
+        for link in bolt.links:
+            for g in link.geoms:
+                # the reference sets bolt mu = 0 (:389) and relies on
+                # PhysX's SDF contact torsional resistance to keep the nut
+                # from gravity-spinning down the thread (lead angle 3.6 deg
+                # vs combined friction angle 5.7 deg — marginal). Our
+                # point-probe Coulomb cone has no torsional term, so give
+                # the bolt a higher mu: 0.6 -> combined 0.4, friction angle
+                # 22 deg — statically held, still easily wrench-driven
+                # (0.2 -> 11 deg still crept ~5 mm/s under the probe cone).
+                g.friction = 0.6
+                g.restitution = 0.0
+        table = create_box(*TABLE_DIMS, fix_base_link=True)
+        franka = load_urdf(
+            ASSET_ROOT,
+            "urdf/franka_description/robots/franka_panda.urdf",
+            fix_base_link=True,
+            armature=0.01,
+        )
+        franka.disable_gravity = True
+        # finger pads get SURFACE-sampled probes: the finger-vs-nut pair
+        # runs probe-vs-SDF narrowphase, and hull-vert-only probes put every
+        # contact at the pad CORNERS — the closing pinch then bites the
+        # nut's chamfer edges and ejects it (watermelon-seed). Spreading
+        # probes over the pad faces gives the flat squeeze.
+        from ..assets.sdf import sample_hull_surface
+
+        for link in franka.links:
+            if "finger" in link.name:
+                for g in link.geoms:
+                    if g.vertices is not None:
+                        g.sdf_samples = sample_hull_surface(
+                            g.vertices - g.mesh_center(), 96
+                        )
+                    # rubber pads: the combined (AVERAGE) friction with the
+                    # reference's nut mu=0.2 must beat the ~45-deg contact
+                    # normals at the nut's chamfers or the pinch ejects the
+                    # nut (PhysX pads are high-mu too)
+                    g.friction = 4.0
+
+        z_mate = None
+        if self.start_on_bolt:
+            # thread-mating root height near the bolt TOP (the same
+            # build-time clearance scan as envs/nut_bolt.py:75-94, in the
+            # nut ROOT frame so the shape's AABB-center offset is exact)
+            g0 = next(
+                g for l in nut.links for g in l.geoms
+                if getattr(g, "sdf_samples", None) is not None
+            )
+            probes_root = np.asarray(g0.sdf_samples) + np.asarray(
+                g0.center(), np.float32
+            )
+            fn = bolt_sdf_fn(spec)
+            pitch = spec.pitch * s
+            top = hh + l - float(probes_root[:, 2].max()) - 1.0 * pitch
+            zs = np.arange(top - pitch / 2, top + pitch / 2, pitch / 64)
+            clear = np.array(
+                [
+                    fn(probes_root + np.array([0, 0, z - self.bolt_half_z], np.float32)).min()
+                    for z in zs
+                ]
+            )
+            z_mate = float(zs[int(np.argmax(clear))])
+            if clear.max() < 0:
+                raise RuntimeError("start_on_bolt: threads never mate")
+
+        rng = np.random.RandomState(self.seed)
+        b = SceneBuilder(sp)
+        b.add_ground(PlaneParams())
+        n_row = max(int(np.sqrt(self.num_envs)), 1)
+        for i in range(self.num_envs):
+            b.create_env((-1, -1, 0), (1, 1, 1), n_row)
+            b.create_actor(
+                i, table, pos=(0.5, 0.0, 0.5 * TABLE_DIMS[2]), name="table",
+                group=i, filter=0,
+            )
+            # bolt base ON the table (:383-386), standing upright
+            bx = 0.5 + rng.uniform(-0.1, 0.1)
+            by = rng.uniform(-0.3, 0.0)
+            b.create_actor(
+                i, bolt, pos=(bx, by, TABLE_DIMS[2] + self.bolt_half_z),
+                name="bolt", group=i, filter=0,
+            )
+            if self.start_on_bolt:
+                nut_pos = (bx, by, TABLE_DIMS[2] + z_mate)
+            else:
+                # nut flat on the table, offset from the bolt (:402-405)
+                nut_pos = (
+                    bx + rng.uniform(-0.04, 0.04),
+                    by + 0.2 + rng.uniform(-0.04, 0.04),
+                    TABLE_DIMS[2] + 0.02,
+                )
+            b.create_actor(i, nut, pos=nut_pos, name="nut", group=i, filter=0)
+            b.create_actor(i, franka, pos=(0, 0, 0), name="franka", group=i, filter=2)
+        self.sim = Simulator(*b.finalize())
+        scene = self.sim.scene
+
+        meta = scene.find_actor("franka")
+        self.nut_slot = scene.find_actor("nut").slot
+        self.bolt_slot = scene.find_actor("bolt").slot
+        hand_i = franka.rigid_body_dict()["panda_hand"]
+        self.hand_body = meta.body_start + hand_i
+        self.dof0 = meta.dof_start
+        self._hand_jac = self.sim.body_jacobian_fn("franka", "panda_hand")
+
+        # stiff position drives (:322-329)
+        p = self.sim.params
+        sl = slice(self.dof0, self.dof0 + 9)
+        stiff = np.full(9, 400.0, np.float32)
+        stiff[7:] = 800.0
+        damp = np.full(9, 40.0, np.float32)
+        maxv = np.full(9, 1e3, np.float32)
+        maxv[7:] = 0.05  # quasistatic gripper close: a snapping squeeze on
+        # a 16 mm nut ejects it before the contact solve can brace it
+        self.sim.params = p._replace(
+            dof_stiffness=p.dof_stiffness.at[:, sl].set(jnp.asarray(stiff)),
+            dof_damping=p.dof_damping.at[:, sl].set(jnp.asarray(damp)),
+            dof_drive_mode=p.dof_drive_mode.at[:, sl].set(1),
+            dof_max_velocity=p.dof_max_velocity.at[:, sl].set(jnp.asarray(maxv)),
+        )
+        # default pose: 0.3 * (lo + hi) (:334-336), grippers open
+        lo = np.asarray(self.sim.params.dof_lower)[0, sl]
+        hi = np.asarray(self.sim.params.dof_upper)[0, sl]
+        q0 = 0.3 * (lo + hi)
+        q0[7:] = hi[7:]
+        q0v = jnp.tile(jnp.asarray(q0, jnp.float32), (self.num_envs, 1))
+        st = self.sim.state
+        st = st._replace(dof_pos=st.dof_pos.at[:, sl].set(q0v))
+        self.sim.state = self.sim.stepper.refresh_body_state(st, self.sim.params)
+        self.sim.initial_state = self.sim.state
+        a = self.sim.actions
+        self.sim.actions = a._replace(
+            dof_pos_target=a.dof_pos_target.at[:, sl].set(q0v)
+        )
+
+        # FSM offsets (:56-60), adapted to THIS asset's frames: the nut
+        # OBJ's solid sits z in [z_lo, z_hi] ABOVE its URDF origin (the
+        # reference bakes that into its 0.12/0.016 constants), and our
+        # generated bolt's origin is the mesh CENTER (the reference's is
+        # the base; its OBJ is a stripped blob we couldn't keep).
+        nut_verts = next(
+            g.vertices for l in nut.links for g in l.geoms if g.vertices is not None
+        )
+        z_lo = float(nut_verts[:, 2].min())
+        z_hi = float(nut_verts[:, 2].max())
+        # hand height over the nut ORIGIN that puts the finger pads at the
+        # solid's midline (pads sit ~0.105 below the hand frame)
+        grip_z = 0.105 + 0.5 * (z_lo + z_hi)
+        self.grip_off = jnp.array([0, 0, grip_z])
+        self.above_off = jnp.array([0, 0, 0.08 + self.bolt_height])
+        self.lift_off = jnp.array([0, 0, 0.15 + self.bolt_height])
+        # release pose: nut solid BOTTOM ~2 mm above the bolt top, so the
+        # loosened nut drops under one thread pitch and the SDF contact
+        # catches the first turn instead of free-falling down the shank
+        on_bolt_z = self.bolt_half_z + grip_z - z_lo + 0.002
+        self.on_bolt_off = jnp.array([0, 0, on_bolt_z])
+        self.above_bolt_off = jnp.array([0, 0, on_bolt_z + 0.08])
+        grab = _z_quat(jnp.asarray(np.pi / 6.0))
+        self.nut_grab_q = quat_mul(grab, DOWN_Q)  # :62-65
+
+        fsm0 = S_LOOSEN if self.start_on_bolt else S_ABOVE_NUT
+        self.init_state = ScrewState(
+            sim=self.sim.state,
+            fsm=jnp.full(self.num_envs, fsm0, jnp.int32),
+            screw_angle=jnp.zeros(self.num_envs, jnp.float32),
+        )
+
+    # ------------------------------------------------------------------
+    def step_fn(self, state: ScrewState, _=None):
+        st = state.sim
+        N = self.num_envs
+        fsm = state.fsm
+        ang = state.screw_angle
+        dt = self.sim.scene.sim_params.dt
+
+        nut_p = st.root_pos[:, self.nut_slot]
+        nut_q = st.root_quat[:, self.nut_slot]
+        bolt_p = st.root_pos[:, self.bolt_slot]
+        hand_p = st.body_pos[:, self.hand_body]
+        hand_q = st.body_quat[:, self.hand_body]
+        sl = slice(self.dof0, self.dof0 + 9)
+        dof_pos = st.dof_pos[:, sl]
+        grip_sep = dof_pos[:, 7] + dof_pos[:, 8]
+
+        def onehot(s):
+            return fsm == s
+
+        dq = jnp.broadcast_to(DOWN_Q, (N, 4))
+        # per-state targets (reference :78-180)
+        nut_bolt_z = bolt_p.at[:, 2].set(nut_p[:, 2])  # [bolt_x, bolt_y, nut_z]
+        lift_p = nut_p.at[:, 2].set(bolt_p[:, 2] + 0.004)
+        screw_q = quat_mul(_z_quat(ang), dq)
+        tgt_pos = jnp.select(
+            [onehot(s)[:, None] for s in range(11)],
+            [
+                nut_p + self.above_off,
+                nut_p + self.grip_off,
+                nut_p + self.grip_off,
+                lift_p + self.lift_off,
+                bolt_p + self.above_bolt_off,
+                bolt_p + self.on_bolt_off,
+                bolt_p + self.on_bolt_off,
+                nut_bolt_z + self.grip_off,
+                nut_bolt_z + self.grip_off,
+                nut_bolt_z + self.grip_off,
+                nut_bolt_z + self.grip_off,
+            ],
+        )
+        grab_q = quat_mul(nut_q, jnp.broadcast_to(self.nut_grab_q, (N, 4)))
+        tgt_q = jnp.select(
+            [onehot(s)[:, None] for s in range(11)],
+            [dq, grab_q, grab_q, dq, dq, dq, dq,
+             screw_q, screw_q, screw_q, screw_q],
+        )
+        ss = self.screw_sep
+        tgt_sep = jnp.select(
+            [onehot(s) for s in range(11)],
+            [jnp.full(N, v) for v in
+             (0.08, 0.08, 0.0, 0.0, 0.0, 0.0, ss, ss, 0.06, 0.06, ss)],
+        )
+
+        pos_err = tgt_pos - hand_p
+        orn_err = orientation_error(tgt_q, hand_q)
+        dpose = jnp.concatenate([pos_err, orn_err], axis=-1)
+        err = jnp.linalg.norm(dpose, axis=-1)
+
+        # transitions (reference thresholds)
+        small = err < 2e-3
+        gripped = grip_sep < 0.035
+        un37 = grip_sep > self.screw_sep * 0.95
+        un60 = grip_sep > 0.06 * 0.98
+        re37 = grip_sep < self.screw_sep * 1.06
+        nxt = fsm
+        nxt = jnp.where(onehot(S_ABOVE_NUT) & small, S_PREP_GRIP, nxt)
+        nxt = jnp.where(onehot(S_PREP_GRIP) & small, S_GRIP, nxt)
+        nxt = jnp.where(onehot(S_GRIP) & (err < 1e-2) & gripped, S_LIFT, nxt)
+        nxt = jnp.where(onehot(S_LIFT) & small, S_ABOVE_BOLT, nxt)
+        nxt = jnp.where(onehot(S_ABOVE_BOLT) & small, S_ON_BOLT, nxt)
+        nxt = jnp.where(onehot(S_ON_BOLT) & small, S_LOOSEN, nxt)
+        loosen_done = onehot(S_LOOSEN) & small & un37
+        nxt = jnp.where(loosen_done, S_SCREW, nxt)
+        screw_done = onehot(S_SCREW) & (ang < -self.screw_limit)
+        nxt = jnp.where(screw_done, S_UNGRIP, nxt)
+        nxt = jnp.where(onehot(S_UNGRIP) & un60, S_ROTBACK, nxt)
+        back_done = onehot(S_ROTBACK) & (ang > 0.99 * self.screw_limit)
+        nxt = jnp.where(back_done, S_REGRIP, nxt)
+        regrip_done = onehot(S_REGRIP) & small & re37
+        nxt = jnp.where(regrip_done, S_SCREW, nxt)
+
+        # screw phase evolution (:141, :163, :55 reset, :178 re-entry)
+        ang = jnp.where(onehot(S_SCREW), ang - dt * self.screw_speed, ang)
+        ang = jnp.where(onehot(S_ROTBACK), ang + dt * 2.0 * self.screw_speed, ang)
+        ang = jnp.where(loosen_done, 0.0, ang)
+        ang = jnp.where(regrip_done, self.screw_limit, ang)
+
+        # damped-least-squares IK (:33-37, :497)
+        j_eef = self._hand_jac(st)[:, :, :7]
+        # position rows weighted 3x for the damped-least-squares solve: a
+        # rotating orientation target (radians ~0.13) otherwise swamps the
+        # centimeter-scale position error and the hand orbits 5+ mm off the
+        # bolt axis during screw_motion — enough for the 0.25 mm flat
+        # squeeze to miss the nut entirely (measured)
+        dpose_w = jnp.concatenate([pos_err * 3.0, orn_err], axis=-1)
+        u = control_ik(j_eef, dpose_w, damping=self.ik_damping)
+        arm_target = dof_pos[:, :7] + u
+        grip_target = jnp.broadcast_to((0.5 * tgt_sep)[:, None], (N, 2))
+        pos_target = jnp.concatenate([arm_target, grip_target], axis=-1)
+
+        actions = self.sim.actions
+        actions = actions._replace(
+            dof_pos_target=actions.dof_pos_target.at[:, sl].set(pos_target)
+        )
+        st = self.sim.stepper.step(st, actions, self.sim.params)
+        return ScrewState(sim=st, fsm=nxt, screw_angle=ang), (fsm, err)
+
+    # ------------------------------------------------------------------
+    def rollout(self, num_steps: int, state: Optional[ScrewState] = None):
+        state = state or self.init_state
+
+        def body(carry, _):
+            return self.step_fn(carry)
+
+        return jax.lax.scan(body, state, None, length=num_steps)
+
+    def nut_height_now(self, state: ScrewState):
+        return state.sim.root_pos[:, self.nut_slot, 2]

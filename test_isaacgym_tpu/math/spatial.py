@@ -76,6 +76,48 @@ def inertia_params_add(a, b):
     return m, com, ic
 
 
+def _unpack3(A):
+    return [[A[..., i, j] for j in range(3)] for i in range(3)]
+
+
+def _pack3(rows):
+    return jnp.stack([jnp.stack(r, axis=-1) for r in rows], axis=-2)
+
+
+def mm3(A, B):
+    """Batched 3x3 matmul in scalar component form.
+
+    NOTE (round-4 measurement, franka flagship @4096 on the real chip):
+    XLA's dot_general/convolution lowering of (..., 3, 3) matmuls beat BOTH
+    hand-written alternatives here — 23.4 ms/10 steps (dot) vs 35.5
+    (broadcast-mul-reduce, lane-padded (...,3,3,3) intermediate) vs 40.1
+    (this scalar form: 9+9 slice reads of the padded tile don't fuse). The
+    tiny-matmul pathology in physics/contacts.py was real because those ops
+    sat inside gather/scatter chains; a clean chain of (...,3,3) einsums is
+    NOT worth rewriting. Kept for call sites that want explicit components
+    anyway."""
+    a = _unpack3(A)
+    b = _unpack3(B)
+    return _pack3(
+        [[sum(a[i][k] * b[k][j] for k in range(3)) for j in range(3)]
+         for i in range(3)]
+    )
+
+
+def sandwich3(R, I):
+    """R @ I @ R^T in scalar component form (see mm3)."""
+    r = _unpack3(R)
+    a = _unpack3(I)
+    t = [
+        [sum(r[i][k] * a[k][j] for k in range(3)) for j in range(3)]
+        for i in range(3)
+    ]
+    return _pack3(
+        [[sum(t[i][k] * r[l][k] for k in range(3)) for l in range(3)]
+         for i in range(3)]
+    )
+
+
 def skew(v):
     """(...,3) -> (...,3,3) cross-product matrix."""
     z = jnp.zeros_like(v[..., 0])
