@@ -349,7 +349,28 @@ struct Tri {
 struct Piece {
   std::vector<V3> pts;   // sample points (verts + centroids + cut points)
   std::vector<Tri> tris;  // clipped surface triangles
+  int depth = 0;         // forced-split recursion bound
 };
+
+// approximate enclosed volume of an (open, clipped) triangle soup: signed
+// tet volumes about the centroid. Exact for closed meshes; for clipped
+// pieces it is a usable concavity heuristic.
+static double mesh_volume(const std::vector<Tri>& tris) {
+  if (tris.empty()) return 0.0;
+  V3 c;
+  size_t n = 0;
+  for (auto& t : tris) {
+    c = c + (t.a + t.b + t.c) * (1.0 / 3.0);
+    n++;
+  }
+  c = c * (1.0 / n);
+  double vol = 0.0;
+  for (auto& t : tris) {
+    V3 ta = t.a - c, tb = t.b - c, tc = t.c - c;
+    vol += ta.dot(tb.cross(tc)) / 6.0;
+  }
+  return std::fabs(vol);
+}
 
 // clip a triangle against axis-halfspace coord <= mid (keep_le) or > mid,
 // appending resulting triangles (Sutherland-Hodgman + fan triangulation)
@@ -438,54 +459,69 @@ int main(int argc, char** argv) {
       continue;
     }
     double parent_vol = hull_volume(p.pts);
-    // split along the longest axis at the median
+    // CONCAVITY of the piece: how much of its hull volume the actual
+    // surface does NOT enclose. A mug split down the middle loses almost
+    // no hull volume (the bowl cavity halves stay "filled" by both child
+    // hulls), so split-gain alone declares it convex — the concavity test
+    // keeps splitting such pieces until the pieces hug the surface.
+    double mvol = mesh_volume(p.tris);
+    double concavity =
+        parent_vol > 1e-12 ? 1.0 - std::min(1.0, mvol / parent_vol) : 0.0;
+    // clipped children are OPEN at their cut planes, so mesh_volume
+    // under-reads and concavity over-reads as depth grows — bound the
+    // forced recursion to depth 4 (<= 16 forced leaves) and require the
+    // split to still help a little
+    bool force = concavity > 0.35 && p.depth < 4 && !p.tris.empty();
+
+    // trial-split every axis at its bbox midpoint; keep the best ratio
     V3 lo(1e30, 1e30, 1e30), hi(-1e30, -1e30, -1e30);
     for (auto& q : p.pts) {
       lo = {std::min(lo.x, q.x), std::min(lo.y, q.y), std::min(lo.z, q.z)};
       hi = {std::max(hi.x, q.x), std::max(hi.y, q.y), std::max(hi.z, q.z)};
     }
-    V3 ext = hi - lo;
-    int axis = ext.x >= ext.y && ext.x >= ext.z ? 0 : (ext.y >= ext.z ? 1 : 2);
-    std::vector<double> coord(p.pts.size());
-    for (size_t i = 0; i < p.pts.size(); i++)
-      coord[i] = axis == 0 ? p.pts[i].x : axis == 1 ? p.pts[i].y : p.pts[i].z;
-    // bbox midpoint split (a median degenerates when coordinates repeat,
-    // e.g. boxy meshes); fall back to the median if one side starves
-    double mid = 0.5 * ((axis == 0 ? lo.x : axis == 1 ? lo.y : lo.z) +
-                        (axis == 0 ? hi.x : axis == 1 ? hi.y : hi.z));
-    Piece a, b;
-    for (size_t i = 0; i < p.pts.size(); i++)
-      (coord[i] <= mid ? a : b).pts.push_back(p.pts[i]);
-    // clip the surface triangles at the plane: the cut cross-section points
-    // join BOTH children so their hulls cover the halves exactly
-    std::vector<V3> cuts;
-    for (auto& t : p.tris) {
-      clip_tri(t, axis, mid, true, a.tris, cuts);
-      clip_tri(t, axis, mid, false, b.tris, cuts);
+    double best_ratio = 1e30;
+    Piece best_a, best_b;
+    for (int axis = 0; axis < 3; axis++) {
+      double l = axis == 0 ? lo.x : axis == 1 ? lo.y : lo.z;
+      double h = axis == 0 ? hi.x : axis == 1 ? hi.y : hi.z;
+      if (h - l < 1e-12) continue;
+      double mid = 0.5 * (l + h);
+      Piece a, b;
+      a.depth = b.depth = p.depth + 1;
+      for (auto& q : p.pts) {
+        double cd = axis == 0 ? q.x : axis == 1 ? q.y : q.z;
+        (cd <= mid ? a : b).pts.push_back(q);
+      }
+      // clip the surface triangles at the plane: the cut cross-section
+      // points join BOTH children so their hulls cover the halves exactly
+      std::vector<V3> cuts;
+      for (auto& t : p.tris) {
+        clip_tri(t, axis, mid, true, a.tris, cuts);
+        clip_tri(t, axis, mid, false, b.tris, cuts);
+      }
+      for (auto& cp : cuts) {
+        a.pts.push_back(cp);
+        b.pts.push_back(cp);
+      }
+      if (a.pts.size() < 4 || b.pts.size() < 4) continue;
+      double va = hull_volume(a.pts), vb = hull_volume(b.pts);
+      if (va <= 1e-12 || vb <= 1e-12) continue;
+      double ratio = parent_vol > 0 ? (va + vb) / parent_vol : 1e30;
+      if (ratio < best_ratio) {
+        best_ratio = ratio;
+        best_a = std::move(a);
+        best_b = std::move(b);
+      }
     }
-    for (auto& cp : cuts) {
-      a.pts.push_back(cp);
-      b.pts.push_back(cp);
-    }
-    if (a.pts.size() < 4 || b.pts.size() < 4) {
-      done.push_back(p);
-      continue;
-    }
-    double va = hull_volume(a.pts), vb = hull_volume(b.pts);
-    double child_vol = va + vb;
     if (std::getenv("VHACD_DEBUG"))
-      std::fprintf(stderr, "split axis=%d parent=%g va=%g vb=%g ratio=%g n=%zu/%zu\n",
-                   axis, parent_vol, va, vb,
-                   parent_vol > 0 ? child_vol / parent_vol : -1.0,
-                   a.pts.size(), b.pts.size());
-    // degenerate (planar) children mean the split sliced along a face of an
-    // already-convex piece: keep the parent
-    if (parent_vol <= 1e-12 || va <= 1e-12 || vb <= 1e-12 ||
-        child_vol / parent_vol > convex_ratio) {
-      done.push_back(p);  // convex enough
+      std::fprintf(stderr,
+                   "piece depth=%d n=%zu parent=%g conc=%g best_ratio=%g\n",
+                   p.depth, p.pts.size(), parent_vol, concavity, best_ratio);
+    if (best_ratio < convex_ratio || (force && best_ratio < 0.98)) {
+      queue.push_back(best_a);
+      queue.push_back(best_b);
     } else {
-      queue.push_back(a);
-      queue.push_back(b);
+      done.push_back(p);  // convex enough
     }
   }
   for (auto& p : queue) done.push_back(p);

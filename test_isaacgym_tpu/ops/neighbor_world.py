@@ -56,6 +56,12 @@ class NeighborWorldSpec(NamedTuple):
     plane_d: float
     plane_friction: float
     plane_restitution: float
+    # local shape offset/rotation in the body frame (round-4 eligibility
+    # broadening: projectiles.py-style worlds carry shape origins —
+    # /root/reference/examples/projectiles.py:120). Identity rows are the
+    # common case and fold away in the fused pose math.
+    local_pos: np.ndarray = None  # (F, 3)
+    local_quat: np.ndarray = None  # (F, 4)
 
 
 def build_spec(
@@ -80,12 +86,10 @@ def build_spec(
     rows = []
     for fi, b in enumerate(fg.body_slot):
         s = np.nonzero(sh.body_slot == b)[0]
-        if (
-            len(s) == 1
-            and sh.kind[s[0]] in (SHAPE_SPHERE, SHAPE_BOX)
-            and np.linalg.norm(sh.pos[s[0]]) < 1e-9  # shape at body origin
-            and abs(sh.quat[s[0]][3]) > 1 - 1e-9  # unrotated in link frame
-        ):
+        # single-shape sphere/box free bodies; local shape offset/rotation
+        # is allowed (folded into the per-substep pose math — round-4
+        # eligibility broadening for projectiles.py-style shape origins)
+        if len(s) == 1 and sh.kind[s[0]] in (SHAPE_SPHERE, SHAPE_BOX):
             rows.append((int(s[0]), fi, int(b), sh.kind[s[0]] == SHAPE_BOX))
     if len(rows) < threshold or not any(r[3] for r in rows):
         return None
@@ -93,6 +97,8 @@ def build_spec(
     free_idx = np.array([r[1] for r in rows], np.int32)
     body_slot = np.array([r[2] for r in rows], np.int32)
     is_box = np.array([r[3] for r in rows], bool)
+    local_pos = np.asarray(sh.pos[shape_idx], np.float32)
+    local_quat = np.asarray(sh.quat[shape_idx], np.float32)
 
     grp = sh.collision_group[shape_idx]
     flt = sh.collision_filter[shape_idx]
@@ -125,6 +131,8 @@ def build_spec(
         plane_d=pd,
         plane_friction=pf,
         plane_restitution=pr,
+        local_pos=local_pos,
+        local_quat=local_quat,
     )
 
 

@@ -520,12 +520,24 @@ class ContactSolver:
         iters = max(6, 2 * px.num_position_iterations) + px.num_velocity_iterations
         slop = px.rest_offset + px.contact_slop
         inv_I = binv(free_I_w[:, fidx])
-        v1, w1, cf_s = _nw.solve(
+        # fold local shape offset/rotation into the pose fed to the solver
+        # (round-4 eligibility broadening): the solver sees SHAPE centers
+        # and center velocities; single-geom bodies have com == center so
+        # the inertia arms stay exact. Offsets are RUNTIME (shape_pos) so
+        # DR/scaling shows up.
+        bp = body_pos[:, bidx]
+        bq = body_quat[:, bidx]
+        arm = quat_rotate(bq, params.shape_pos[:, sidx])
+        center = bp + arm
+        sq = quat_mul(bq, jnp.asarray(spec.local_quat)[None])
+        w0 = free_w[:, fidx]
+        vc = free_v[:, fidx] + jnp.cross(w0, arm)
+        v1c, w1, cf_s = _nw.solve(
             spec,
-            body_pos[:, bidx],
-            body_quat[:, bidx],
-            free_v[:, fidx],
-            free_w[:, fidx],
+            center,
+            sq,
+            vc,
+            w0,
             params.shape_size[:, sidx],
             1.0 / free_m[:, fidx],
             inv_I,
@@ -538,6 +550,7 @@ class ContactSolver:
             px.bounce_threshold_velocity,
             max_depen=px.max_depenetration_velocity,
         )
+        v1 = v1c - jnp.cross(w1, arm)
         free_v = free_v.at[:, fidx].set(v1)
         free_w = free_w.at[:, fidx].set(w1)
         cf = cf_base.at[:, bidx].add(cf_s)

@@ -109,3 +109,47 @@ def test_mixed_spheres_and_boxes():
     s = run(s)
     z = np.asarray(s.root_pos[0, :, 2])
     assert z.min() > 0.05 and z.max() < 0.6
+
+
+def test_offset_rotated_shapes_take_fast_path():
+    """Shape-offset and rotated single-shape free bodies now qualify
+    (round-4 eligibility broadening — projectiles.py:120-style actors carry
+    geom origins): the pose folds into the solver's shape centers and the
+    world still settles without tunneling."""
+    from test_isaacgym_tpu.assets.types import GeomSpec, GEOM_BOX, GEOM_SPHERE
+
+    sp = SimParams(dt=1 / 60, substeps=2, gravity=(0.0, 0.0, -9.8))
+    box = create_box(0.2, 0.2, 0.2, density=500.0)
+    ball = create_sphere(0.1, density=500.0)
+    # move the geoms OFF the body origin and rotate the box's geom
+    for a, off in ((box, (0.05, 0.02, 0.03)), (ball, (0.0, 0.04, -0.02))):
+        g = a.links[0].geoms[0]
+        g.pos = off
+        if g.kind == GEOM_BOX:
+            s2 = float(np.sin(0.3 / 2))
+            g.quat = (0.0, 0.0, s2, float(np.cos(0.3 / 2)))
+    b = SceneBuilder(sp)
+    b.add_ground(PlaneParams())
+    b.create_env((-50, -50, 0), (50, 50, 10), 1)
+    rng = np.random.RandomState(3)
+    for i in range(140):
+        a = box if i % 2 else ball
+        gx, gy = divmod(i, 12)
+        b.create_actor(
+            0, a, pos=(gx * 0.4, gy * 0.4, 0.2 + rng.uniform(0, 0.3)),
+            name=f"o{i}", group=-1, filter=0,
+        )
+    sim = Simulator(*b.finalize())
+    cs = sim.stepper.contact
+    assert cs.neighbor_world is not None
+    assert len(cs.neighbor_world.shape_idx) >= 70  # boxes + offset spheres
+    run = jax.jit(lambda s: sim.stepper.rollout(s, sim.actions, sim.params, 40))
+    s = run(sim.state)
+    s = run(s)
+    s = run(s)
+    pos = np.asarray(s.root_pos[0])
+    z = pos[:, 2]
+    assert np.isfinite(pos).all()
+    # nothing tunnels (origin can sit below ground by its geom offset, so
+    # bound with margin) and nothing launches
+    assert z.min() > -0.06 and z.max() < 0.8, (z.min(), z.max())
