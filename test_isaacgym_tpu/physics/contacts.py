@@ -1064,11 +1064,22 @@ class ContactSolver:
             call on TPU (~20 such calls per substep dominated the step)."""
             N = deps.shape[0]
             P = len(i0)
-            vals, ti = jax.lax.top_k(deps, M4)  # (N, P, 4)
-            V = deps.shape[-1]
-            oh = (ti[..., None] == jnp.arange(V)[None, None, None]).astype(
-                deps.dtype
-            )  # (N, P, 4, V)
+            # 4-pass masked argmax instead of lax.top_k: the top_k SORT of
+            # (N, P, 64) measured 0.7 ms per call on TPU (4 calls/substep);
+            # four max+onehot passes fuse into the surrounding elementwise
+            # graph
+            d = deps
+            vals_l, oh_l = [], []
+            for _ in range(M4):
+                m = jnp.max(d, axis=-1)
+                sel = (d >= m[..., None]).astype(deps.dtype)
+                # break ties to a single column
+                sel = sel * (jnp.cumsum(sel, axis=-1) <= 1.0)
+                vals_l.append(m)
+                oh_l.append(sel)
+                d = jnp.where(sel > 0, -jnp.inf, d)
+            vals = jnp.stack(vals_l, -1)  # (N, P, 4)
+            oh = jnp.stack(oh_l, -2)  # (N, P, 4, V)
             p4 = [jnp.sum(pts_c[k][..., None, :] * oh, -1) for k in range(3)]
             n4 = [jnp.sum(nrm_c[k][..., None, :] * oh, -1) for k in range(3)]
             pts4 = jnp.stack(p4, -1)  # (N, P, 4, 3) — tiny
