@@ -1346,8 +1346,12 @@ class Gym:
         st = sim.sim.stepper.soft
         import jax
 
+        # cache the jitted callable on the stepper — re-wrapping the bound
+        # method in jax.jit on every call retraces every invocation
+        if not hasattr(st, "_jit_tet_stress"):
+            st._jit_tet_stress = jax.jit(st.tet_stress)
         stress = np.asarray(
-            jax.jit(st.tet_stress)(sim.sim.state.soft_pos, sim.sim.params)
+            st._jit_tet_stress(sim.sim.state.soft_pos, sim.sim.params)
         )  # (N, T, 3, 3)
         N = stress.shape[0]
         V = soft.num_verts
@@ -1365,7 +1369,9 @@ class Gym:
         st = sim.sim.stepper.soft
         import jax
 
-        normals = np.asarray(jax.jit(st.tri_normals)(sim.sim.state.soft_pos))
+        if not hasattr(st, "_jit_tri_normals"):
+            st._jit_tri_normals = jax.jit(st.tri_normals)
+        normals = np.asarray(st._jit_tri_normals(sim.sim.state.soft_pos))
         N = normals.shape[0]
         V, T, S = soft.num_verts, soft.num_tets, len(soft.tris)
         idx = (
@@ -1376,19 +1382,28 @@ class Gym:
         ).reshape(-1)
         return idx.tolist(), par.tolist(), list(normals.reshape(-1, 3))
 
-    def get_actor_tetrahedra_range(self, env: Env, actor: int, soft_index: int):
+    def _soft_instance_at(self, env: Env, actor: int, soft_index: int):
+        """Validated lookup: empty range for actors with no soft bodies or
+        an out-of-range soft_index (instead of a bare IndexError)."""
         idx = self._soft_instances_of(env, actor)
         soft = env.sim.sim.scene.soft
-        inst = soft.instances[idx[soft_index]]
+        if soft is None or not (0 <= soft_index < len(idx)):
+            return None, None
+        return soft, soft.instances[idx[soft_index]]
+
+    def get_actor_tetrahedra_range(self, env: Env, actor: int, soft_index: int):
+        soft, inst = self._soft_instance_at(env, actor, soft_index)
+        if inst is None:
+            return TetTriRange(start=0, count=0)
         return TetTriRange(
             start=env.idx * soft.num_tets + inst.tet_start,
             count=inst.tet_count,
         )
 
     def get_actor_triangle_range(self, env: Env, actor: int, soft_index: int):
-        idx = self._soft_instances_of(env, actor)
-        soft = env.sim.sim.scene.soft
-        inst = soft.instances[idx[soft_index]]
+        soft, inst = self._soft_instance_at(env, actor, soft_index)
+        if inst is None:
+            return TetTriRange(start=0, count=0)
         return TetTriRange(
             start=env.idx * len(soft.tris) + inst.tri_start,
             count=inst.tri_count,
@@ -2002,7 +2017,38 @@ class Gym:
         viewer.lines.append((segs.astype(np.float32), np.asarray([1.0, 0, 0])))
 
     def draw_env_soft_contacts(self, viewer, env, color, scale, a: bool, b: bool):
-        pass  # soft bodies: documented v1 non-goal (SURVEY.md N11)
+        """Line segments along surface-triangle normals scaled by contact
+        proximity to the ground plane (the soft analog of
+        draw_env_rigid_contacts; reference: soft_body.py stress viz)."""
+        sim = env.sim
+        sim._ensure_built()
+        soft = sim.sim.scene.soft
+        if soft is None:
+            return
+        st = sim.sim.stepper.soft
+        import jax
+
+        if not hasattr(st, "_jit_tri_normals"):
+            st._jit_tri_normals = jax.jit(st.tri_normals)
+        pos = np.asarray(sim.sim.state.soft_pos[env.idx])  # (Vt, 3)
+        nrm = np.asarray(
+            st._jit_tri_normals(sim.sim.state.soft_pos[env.idx : env.idx + 1])
+        )[0]  # (S, 3)
+        centers = pos[soft.tris].mean(axis=1)  # (S, 3)
+        # contact = triangle center within `thickness + 1 cm` of the plane
+        d = centers @ st.plane_n - st.plane_d - soft.thickness
+        mask = d < 0.01
+        if not mask.any():
+            return
+        segs = np.stack(
+            [centers[mask], centers[mask] + nrm[mask] * scale], axis=1
+        )
+        col = (
+            np.asarray([color.x, color.y, color.z], np.float32)
+            if hasattr(color, "x")
+            else np.asarray(color, np.float32)
+        )
+        viewer.lines.append((segs.astype(np.float32), col))
 
 
 def _prim_opts(o: AssetOptions) -> dict:

@@ -88,8 +88,19 @@ def build_spec(
         s = np.nonzero(sh.body_slot == b)[0]
         # single-shape sphere/box free bodies; local shape offset/rotation
         # is allowed (folded into the per-substep pose math — round-4
-        # eligibility broadening for projectiles.py-style shape origins)
+        # eligibility broadening for projectiles.py-style shape origins).
+        # BUT the fused pose math treats the shape center as the COM
+        # (inertia arms, vc = v + w x arm), so a link whose explicit
+        # <inertial> COM is NOT at the geom origin must take the general
+        # path or its torque arms are about the wrong point. Auto-derived
+        # inertia stays eligible: there the geom center IS the physical
+        # COM by construction.
         if len(s) == 1 and sh.kind[s[0]] in (SHAPE_SPHERE, SHAPE_BOX):
+            link = scene.actors[fg.slots[fi]].asset.links[0]
+            if getattr(link, "explicit_inertial", False) and (
+                np.linalg.norm(scene.body_com[b] - sh.pos[s[0]]) > 1e-6
+            ):
+                continue
             rows.append((int(s[0]), fi, int(b), sh.kind[s[0]] == SHAPE_BOX))
     if len(rows) < threshold or not any(r[3] for r in rows):
         return None

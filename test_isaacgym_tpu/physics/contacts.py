@@ -1054,6 +1054,13 @@ class ContactSolver:
                 jnp.sum(planes[..., k][None, :, None, :] * m, axis=-1)
                 for k in range(3)
             )
+            # an exact face-distance tie averages two unit normals — the
+            # mean is NOT unit length and would scale the solver impulse;
+            # renormalize (advisor round-4 finding)
+            n_len = jnp.sqrt(
+                jnp.clip(sum(c * c for c in n_loc), 1e-12)
+            )
+            n_loc = tuple(c / n_len for c in n_loc)
             return sd, qrot_c(q_c, n_loc)
 
         def top4(i0, pts_c, nrm_c, deps):

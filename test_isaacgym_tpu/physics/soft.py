@@ -353,9 +353,13 @@ class SoftStepper:
                     + w3 * jnp.sum(g3 * g3, -1)
                 )
 
-            # deviatoric: C = ||F||_F - sqrt(3); dC/dF = F / ||F||_F
+            # deviatoric: C = ||F||_F (UN-shifted — the Macklin/Müller
+            # stable Neo-Hookean pairing: this rest tension is what cancels
+            # the -mu/lam offset inside gamma at F=I; shifting it by
+            # -sqrt(3) leaves a net rest force that inflates bodies by
+            # ~mu/(mu+3 lam)); dC/dF = F / ||F||_F
             fn = jnp.sqrt(jnp.clip(jnp.sum(F * F, axis=(-2, -1)), 1e-12))
-            C_d = fn - jnp.sqrt(3.0)
+            C_d = fn
             # G[..., :, j] = gradient of C wrt vertex j+1 (chain rule
             # through Ds = [x1-x0 | x2-x0 | x3-x0]: dC/dxj = (dC/dF) invDm^T e_j)
             G = (F / fn[..., None, None]) @ jnp.swapaxes(inv_dm, -1, -2)
