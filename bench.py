@@ -119,6 +119,108 @@ def _bench_nut_bolt(num_envs, steps):
     return num_envs * steps / dt
 
 
+def _bench_render(width=1600, height=900, frames=8):
+    """TPU render throughput (VERDICT r4 items 4/5 of 'missing'): test08's
+    1600x900 camera (/root/reference/test08.py:281-284) over a franka
+    scene rendering TRUE visual triangle meshes (not hull LODs). Returns
+    ms/frame on the live backend."""
+    import numpy as np
+
+    from test_isaacgym_tpu import gymapi
+
+    gym = gymapi.acquire_gym()
+    sim = gym.create_sim(0, 0, gymapi.SIM_PHYSX, gymapi.SimParams())
+    gym.add_ground(sim, gymapi.PlaneParams())
+    opts = gymapi.AssetOptions()
+    opts.fix_base_link = True
+    asset = gym.load_asset(
+        sim,
+        "/root/reference/assets",
+        "urdf/franka_description/robots/franka_panda.urdf",
+        opts,
+    )
+    env = gym.create_env(sim, gymapi.Vec3(-1, -1, 0), gymapi.Vec3(1, 1, 1), 1)
+    gym.create_actor(env, asset, gymapi.Transform(), "franka", 0, 0)
+    cam = gym.create_camera_sensor(
+        env, gymapi.CameraProperties(width=width, height=height)
+    )
+    gym.set_camera_location(
+        cam, env, gymapi.Vec3(1.6, 0.9, 0.9), gymapi.Vec3(0, 0, 0.4)
+    )
+    import jax.numpy as jnp
+
+    def sync(sensor):
+        # force completion with a 1-element readback: through the axon
+        # tunnel block_until_ready can return before a freshly dispatched
+        # program finishes (measured r5: 6 ms "block" then 2.7 s on the
+        # first real transfer); a scalar device->host get cannot.
+        return int(jnp.sum(sensor.color[0, ::64, ::64, 0]))
+
+    gym.prepare_sim(sim)
+    gym.render_all_camera_sensors(sim)  # compile
+    sensor = sim.cameras[0]
+    sync(sensor)
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        gym.render_all_camera_sensors(sim)
+        # device-resident images (the reference's enable_tensors /
+        # get_camera_image_gpu_tensor path); full-frame host readback is a
+        # separate consumer cost, as in interop_torch.py's GPU path
+        sync(sensor)
+    dt = (time.perf_counter() - t0) / frames
+    img = gym.get_camera_image(sim, env, cam, gymapi.IMAGE_COLOR)
+    assert img.shape == (height, width * 4)
+    assert np.asarray(img).std() > 0
+    return dt * 1e3  # ms/frame
+
+
+def _bench_sharded(num_envs, steps):
+    """Sharded learner loop (SURVEY §2.4 / BASELINE 'scaling efficiency'):
+    env-steps/s of the shard_map rollout WITH the per-step obs all_gather
+    vs the plain sharded rollout, on whatever mesh the backend offers
+    (the driver's real-TPU runs have 1 chip; the 'all' sweep launches this
+    config in an 8-device CPU-mesh subprocess, labeled as such)."""
+    import jax
+
+    from test_isaacgym_tpu.envs.franka import FrankaOscEnv
+    from test_isaacgym_tpu.parallel.mesh import (
+        make_env_mesh,
+        global_env_tree,
+        rollout_with_obs,
+        shard_step,
+    )
+
+    mesh = make_env_mesh()
+    env = FrankaOscEnv(num_envs=num_envs)
+    state = global_env_tree(env.sim.state, mesh, num_envs)
+
+    def obs_fn(s):
+        return s.dof_pos
+
+    run = rollout_with_obs(
+        env.sim.stepper.step, obs_fn, mesh, state, env.sim.actions,
+        env.sim.params, steps,
+    )
+    out, _ = run(state, env.sim.actions, env.sim.params)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out, obs = run(out, env.sim.actions, env.sim.params)
+    jax.block_until_ready(out)
+    dt_g = time.perf_counter() - t0
+
+    f = shard_step(
+        lambda s, a, p: env.sim.stepper.rollout(s, a, p, steps),
+        mesh, state, env.sim.actions, env.sim.params,
+    )
+    out2 = f(state, env.sim.actions, env.sim.params)
+    jax.block_until_ready(out2)
+    t0 = time.perf_counter()
+    out2 = f(out2, env.sim.actions, env.sim.params)
+    jax.block_until_ready(out2)
+    dt_p = time.perf_counter() - t0
+    return num_envs * steps / dt_g, num_envs * steps / dt_p, len(mesh.devices.ravel())
+
+
 def _sol_stats(num_envs=4096):
     """Speed-of-light accounting (SURVEY §5.1): XLA cost analysis of ONE
     flagship step and one franka_cube step — logical FLOPs and bytes, the
@@ -257,12 +359,39 @@ def _main_isolated(args):
             extra["soL"] = r["extra"]["soL"]
         if "errors" in r:
             errors.update(r["errors"])
-    for cfg in ("franka_cube", "balls1080", "nut_bolt"):
+    for cfg in ("franka_cube", "balls1080", "nut_bolt", "franka16k", "render"):
         r = run(["--config", cfg, "--num-envs", ne, "--steps", st])
         if r is not None:
             extra.update(r.get("extra", {}))
             if "errors" in r:
                 errors.update(r["errors"])
+    # sharded learner loop on the virtual 8-device CPU mesh (one real TPU
+    # chip can't shard 8-way; the label carries the platform)
+    import subprocess as _sp  # noqa: F401  (env-override run below)
+
+    env8 = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        PALLAS_AXON_POOL_IPS="",
+        XLA_FLAGS=(
+            os.environ.get("XLA_FLAGS", "")
+            + " --xla_force_host_platform_device_count=8"
+            + " --xla_cpu_use_fusion_emitters=false"
+        ).strip(),
+    )
+    try:
+        p = _sp.run(
+            [sys.executable, here, "--config", "sharded", "--num-envs",
+             "512", "--steps", "20"],
+            capture_output=True, text=True, timeout=1800, env=env8,
+        )
+        lines = [l for l in p.stdout.splitlines() if l.startswith("{")]
+        if lines:
+            extra.update(json.loads(lines[-1]).get("extra", {}))
+        else:
+            errors["sharded"] = f"rc={p.returncode} " + p.stderr[-200:]
+    except Exception as e:  # noqa: BLE001
+        errors["sharded"] = repr(e)[:300]
     r = run(["--verify"])
     if r is not None:
         verify = r.get("verify")
@@ -296,7 +425,10 @@ def main():
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument(
         "--config",
-        choices=["all", "franka", "franka_cube", "balls1080", "nut_bolt"],
+        choices=[
+            "all", "franka", "franka_cube", "balls1080", "nut_bolt",
+            "franka16k", "render", "sharded",
+        ],
         default="all",
     )
     ap.add_argument("--smoke", action="store_true", help="tiny fast config")
@@ -366,6 +498,26 @@ def main():
         )
         if v is not None:
             extra[f"nut_bolt@{n} env-steps/s"] = round(v, 1)
+    if args.config == "franka16k":
+        # the north star at its own scale: >1M env-steps/s at 10k+ envs
+        # (BASELINE.json) — 16384 envs exercises real HBM headroom
+        v = attempt(
+            "franka16k", lambda: _bench_franka(16384, max(args.steps, 50))
+        )
+        if v is not None:
+            extra["franka@16384 env-steps/s"] = round(v, 1)
+    if args.config == "render":
+        v = attempt("render", lambda: _bench_render())
+        if v is not None:
+            extra["render_1600x900 ms/frame"] = round(v, 2)
+    if args.config == "sharded":
+        v = attempt("sharded", lambda: _bench_sharded(512, 20))
+        if v is not None:
+            g, p, ndev = v
+            extra[f"sharded_rollout env-steps/s ({ndev}-dev cpu mesh)"] = (
+                round(g, 1)
+            )
+            extra["sharded_rollout_nogather env-steps/s"] = round(p, 1)
 
     if flagship is not None:
         out = {

@@ -83,18 +83,107 @@ def _load_stl_ascii(path):
 
 
 def _load_dae(path):
-    """Very small COLLADA reader: pulls the first float_array of positions.
-    Visual-only fidelity; fine for hulls/bounds."""
+    """Small COLLADA reader: positions + triangulated faces.
+
+    Handles <triangles> and <polylist> primitives with interleaved index
+    streams (VERTEX input offset within stride = max offset + 1), the
+    <unit meter=.../> scale, and multiple <geometry> nodes (concatenated
+    in file-local coordinates — the repo's assets use identity scene
+    transforms). Enough fidelity for visual-mesh rendering
+    (graphics_materials.py-class scenes); not a general COLLADA importer."""
     import xml.etree.ElementTree as ET
 
     tree = ET.parse(path)
-    ns = {"c": tree.getroot().tag.split("}")[0].strip("{")}
-    for fa in tree.iter():
-        if fa.tag.endswith("float_array") and "positions" in fa.get("id", ""):
-            vals = np.fromstring(fa.text, sep=" ", dtype=np.float32)
-            if len(vals) >= 9:
-                return vals.reshape(-1, 3), None
-    return None, None
+    root = tree.getroot()
+
+    def tag(e):
+        return e.tag.rsplit("}", 1)[-1]
+
+    scale = 1.0
+    for u in root.iter():
+        if tag(u) == "unit":
+            scale = float(u.get("meter", 1.0))
+            break
+
+    all_v, all_f = [], []
+    for geom in root.iter():
+        if tag(geom) != "geometry":
+            continue
+        mesh = next((c for c in geom if tag(c) == "mesh"), None)
+        if mesh is None:
+            continue
+        # id -> float data of each <source>
+        sources = {}
+        for src in mesh:
+            if tag(src) != "source":
+                continue
+            fa = next((c for c in src.iter() if tag(c) == "float_array"), None)
+            if fa is not None and fa.text:
+                sources[src.get("id")] = np.fromstring(
+                    fa.text, sep=" ", dtype=np.float32
+                )
+        # <vertices> indirection: its POSITION input names the real source
+        vert_src = {}
+        for vs in mesh:
+            if tag(vs) == "vertices":
+                for inp in vs:
+                    if (
+                        tag(inp) == "input"
+                        and inp.get("semantic") == "POSITION"
+                    ):
+                        vert_src[vs.get("id")] = inp.get("source", "").lstrip(
+                            "#"
+                        )
+        for prim in mesh:
+            if tag(prim) not in ("triangles", "polylist"):
+                continue
+            v_off, v_src, stride = 0, None, 1
+            for inp in prim:
+                if tag(inp) != "input":
+                    continue
+                off = int(inp.get("offset", 0))
+                stride = max(stride, off + 1)
+                if inp.get("semantic") == "VERTEX":
+                    v_off = off
+                    v_src = inp.get("source", "").lstrip("#")
+            p_el = next((c for c in prim if tag(c) == "p"), None)
+            if p_el is None or not p_el.text or v_src is None:
+                continue
+            src_id = vert_src.get(v_src, v_src)
+            pos = sources.get(src_id)
+            if pos is None or len(pos) < 9:
+                continue
+            verts = pos.reshape(-1, 3) * scale
+            idx = np.fromstring(p_el.text, sep=" ", dtype=np.int64)
+            vidx = idx[v_off::stride]
+            if tag(prim) == "polylist":
+                vc_el = next(
+                    (c for c in prim if tag(c) == "vcount"), None
+                )
+                vcount = (
+                    np.fromstring(vc_el.text, sep=" ", dtype=np.int64)
+                    if vc_el is not None and vc_el.text
+                    else np.full(len(vidx) // 3, 3, np.int64)
+                )
+                faces = []
+                k = 0
+                for c in vcount:
+                    for j in range(1, c - 1):  # fan-triangulate
+                        faces.append((vidx[k], vidx[k + j], vidx[k + j + 1]))
+                    k += c
+                faces = np.asarray(faces, np.int64)
+            else:
+                faces = vidx.reshape(-1, 3)
+            base = sum(len(v) for v in all_v)
+            all_v.append(verts.astype(np.float32))
+            all_f.append(faces + base)
+    if not all_v:
+        return None, None
+    v = np.concatenate(all_v, 0)
+    f = np.concatenate(all_f, 0) if all_f else None
+    if f is not None and (len(f) == 0 or f.max() >= len(v)):
+        f = None
+    return v, (f.astype(np.int32) if f is not None else None)
 
 
 def convex_hull_vertices(verts: np.ndarray, max_verts: int = 64) -> np.ndarray:

@@ -67,5 +67,7 @@ def create_mesh_asset(
         faces=np.asarray(faces, np.int32),
         sdf=sdf,
         sdf_samples=farthest_point_sample(vertices - center, n_samples),
+        visual_vertices=vertices - center,
+        visual_faces=np.asarray(faces, np.int32),
     )
     return _single_body_asset(name, g, density, **opts)

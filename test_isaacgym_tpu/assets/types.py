@@ -91,6 +91,11 @@ class GeomSpec:
     sdf_samples: Optional[np.ndarray] = None  # (P,3) surface contact probes
     #   (full-mesh FPS, AABB-centered frame; meshes that contact an SDF
     #   shape probe it with these points)
+    # full-resolution render mesh kept from before convex hulling, in the
+    # shape's AABB-centered frame (render/raster.py visual triangle pass —
+    # used when the link carries no separate <visual> mesh)
+    visual_vertices: Optional[np.ndarray] = None
+    visual_faces: Optional[np.ndarray] = None
     color: Optional[Tuple[float, float, float]] = None
     friction: float = 1.0
     restitution: float = 0.0

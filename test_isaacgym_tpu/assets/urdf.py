@@ -266,6 +266,11 @@ def load_urdf(
                         g.sdf_samples = farthest_point_sample(
                             g.vertices - g.mesh_center(), 256
                         )
+                    if g.faces is not None and len(g.faces):
+                        # keep the full mesh for the visual triangle pass
+                        # (AABB-centered = shape frame) before hulling
+                        g.visual_vertices = g.vertices - g.mesh_center()
+                        g.visual_faces = np.asarray(g.faces, np.int32)
                     g.vertices = convex_hull_vertices(g.vertices, max_hull_verts)
                 l.geoms.append(g)
         for v in el.findall("visual"):

@@ -55,6 +55,16 @@ class PhysXParams:
     # franka_cube_ik_osc.py:365); tight-tolerance scenes (SDF nut-bolt
     # threads, feature size < 1mm) must set it well below the feature size.
     contact_slop: float = 1.5e-3
+    # SDF contact pair directions. True (default): for a mesh pair where
+    # both sides carry SDFs, probe in BOTH directions (a's surface samples
+    # vs b's field AND b's vs a's) — the richer manifold gripper-driven
+    # screwing needs (measured r5: single-direction loses the
+    # franka_nut_bolt friction-turn). False: keep only directions whose
+    # target field has a closed form, evaluated inline with zero grid
+    # gathers — the fast path for kinematically driven thread contact
+    # (envs/nut_bolt.py), where the probe sampling alone captures the
+    # manifold (validated by the descent-rate=pitch tests).
+    sdf_bidirectional: bool = True
 
 
 @dataclasses.dataclass

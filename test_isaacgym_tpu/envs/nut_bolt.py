@@ -63,6 +63,12 @@ class NutBoltEnv:
         sp.physx.contact_offset = 0.001 * s / 5.0
         sp.physx.rest_offset = 0.0
         sp.physx.contact_slop = 1e-4 * s / 5.0  # thread tolerance << 1.5mm
+        # kinematic spin + 256 FPS probes capture the thread manifold from
+        # the nut side alone; the analytic bolt field then runs gather-free
+        # (r5 profile: the reverse voxel direction was 8x 6.5 ms corner
+        # gathers per substep = 93% of the step). Descent-rate tests pin
+        # the physics (tests/test_nut_bolt.py).
+        sp.physx.sdf_bidirectional = False
 
         pitch = spec.pitch * s
         self.pitch = pitch

@@ -147,7 +147,8 @@ class Viewer:
         self.subscriptions: Dict[str, str] = {}
         self._injected: List[Tuple[str, float]] = []
         self.mouse_pos = (0.0, 0.0)
-        self.lines: List[Tuple[np.ndarray, np.ndarray]] = []
+        # debug-draw segments: (env_idx, segs (K, 2, 3) world, colors (K, 3))
+        self.lines: List[Tuple[int, np.ndarray, np.ndarray]] = []
         self.frames = 0
 
     # programmatic injection (replaces real keyboard/mouse)
@@ -1789,6 +1790,43 @@ class Gym:
             tex = sim._tex_atlas
             tex_id = sim._shape_tex
         N = s.scene.num_envs
+        # visual triangle meshes (VERDICT r4 item 4): static local tables
+        tbl0 = sim._render_tables
+        tri_kw = {}
+        if len(tbl0.tri_shape):
+            tri_kw = dict(
+                tri_shape=tuple(int(r) for r in tbl0.tri_shape),
+                tri_v=tbl0.tri_v,
+                tri_n=tbl0.tri_n,
+                tri_base=tuple(
+                    tuple(float(x) for x in row)
+                    for row in np.asarray(s.scene.shapes.size, np.float32)
+                ),
+            )
+        # soft surface triangles render as a world-frame soup
+        if s.scene.soft is not None and s.state.soft_pos is not None:
+            stris = s.state.soft_pos[:, np.asarray(s.scene.soft.tris)]
+            tri_kw.update(
+                soft_tris=stris,
+                soft_colors=np.asarray([0.82, 0.45, 0.35], np.float32),
+            )
+        # viewer debug-draw lines, padded per env
+        viewer = getattr(sim, "viewer", None)
+        if viewer is not None and viewer.lines:
+            Lmax = max(
+                sum(len(sg) for e2, sg, _ in viewer.lines if e2 == e)
+                for e in range(N)
+            )
+            if Lmax > 0:
+                lseg = np.zeros((N, Lmax, 2, 3), np.float32)
+                lcol = np.zeros((N, Lmax, 3), np.float32)
+                fill = np.zeros(N, np.int64)
+                for e2, sg, cl in viewer.lines:
+                    k = fill[e2]
+                    lseg[e2, k : k + len(sg)] = sg
+                    lcol[e2, k : k + len(sg)] = cl
+                    fill[e2] += len(sg)
+                tri_kw.update(lines=lseg, line_colors=lcol)
         for sensor in sim.cameras:
             if sensor.destroyed:
                 continue
@@ -1834,16 +1872,22 @@ class Gym:
                 mesh_rows=tuple(int(r) for r in tbl.mesh_rows),
                 mesh_planes=tbl.mesh_planes,
                 mesh_base=tbl.mesh_base,
+                **tri_kw,
                 width=sensor.props.width,
                 height=sensor.props.height,
                 far=float(sensor.props.far_plane),
                 ss=ss,
                 **flow_kw,
             )
-            sensor.color = np.asarray(rgba)
-            sensor.depth = np.asarray(depth)
-            sensor.segmentation = np.asarray(seg)
-            sensor.flow = np.asarray(flow) if flow is not None else None
+            # keep images ON DEVICE (the reference's enable_tensors /
+            # get_camera_image_gpu_tensor semantics — interop_torch.py:
+            # 115-120); the classic get_camera_image converts lazily.
+            # Eager np.asarray here cost ~0.5 s/frame of tunnel readback
+            # at 1600x900 (r5 render profile).
+            sensor.color = rgba
+            sensor.depth = depth
+            sensor.segmentation = seg
+            sensor.flow = flow
 
     def get_camera_image(self, sim: Sim, env: Env, cam: int, kind: int):
         sensor = sim.cameras[cam]
@@ -1851,11 +1895,11 @@ class Gym:
             self.render_all_camera_sensors(sim)
         h, w = sensor.props.height, sensor.props.width
         if kind == IMAGE_COLOR:
-            return sensor.color[env.idx].reshape(h, w * 4)
+            return np.asarray(sensor.color[env.idx]).reshape(h, w * 4)
         if kind == IMAGE_DEPTH:
-            return sensor.depth[env.idx]
+            return np.asarray(sensor.depth[env.idx])
         if kind == IMAGE_SEGMENTATION:
-            return sensor.segmentation[env.idx]
+            return np.asarray(sensor.segmentation[env.idx])
         if kind == IMAGE_OPTICAL_FLOW:
             # (H, W, 2) pixel displacement since the previous frame
             # (graphics.py:225-238's fourth image type): rendered lazily —
@@ -1863,7 +1907,7 @@ class Gym:
             if not sensor.want_flow or sensor.flow is None:
                 sensor.want_flow = True
                 self.render_all_camera_sensors(sim)
-            return sensor.flow[env.idx]
+            return np.asarray(sensor.flow[env.idx])
         raise ValueError(f"unsupported image type {kind}")
 
     def get_camera_image_gpu_tensor(self, sim: Sim, env: Env, cam: int, kind: int):
@@ -1877,7 +1921,9 @@ class Gym:
             IMAGE_DEPTH: sensor.depth,
             IMAGE_SEGMENTATION: sensor.segmentation,
         }[kind][env.idx]
-        return _TensorHandle(sim, f"image:{cam}:{env.idx}:{kind}", buf)
+        return _TensorHandle(
+            sim, f"image:{cam}:{env.idx}:{kind}", np.asarray(buf)
+        )
 
     def start_access_image_tensors(self, sim: Sim):
         self.render_all_camera_sensors(sim)
@@ -2001,9 +2047,28 @@ class Gym:
         viewer.frames += 1  # offscreen render happens via camera sensors
 
     def add_lines(self, viewer: Viewer, env: Env, num: int, verts, colors):
-        viewer.lines.append(
-            (np.asarray(verts, np.float32).reshape(-1, 2, 3), np.asarray(colors))
-        )
+        """Store (env, world-frame segments, per-line colors); camera
+        renders rasterize them (render/raster.py _ray_lines — reference
+        gymutil.draw_lines consumers, test/test01_isaacgym_asset.py:218)."""
+        def _un_structured(a):
+            a = np.asarray(a)
+            if a.dtype.names:  # Vec3/color structured dtype
+                a = np.stack([a[n] for n in a.dtype.names[:3]], -1)
+            return a.astype(np.float32)
+
+        segs = _un_structured(verts).reshape(-1, 2, 3)
+        sim = env.sim
+        sim._ensure_built()
+        segs = segs + np.asarray(
+            sim.sim.env_origins[env.idx], np.float32
+        )  # env -> world
+        col = _un_structured(colors).reshape(-1, 3)
+        if len(col) < len(segs):
+            col = np.broadcast_to(
+                col[:1] if len(col) else np.ones((1, 3), np.float32),
+                (len(segs), 3),
+            )
+        viewer.lines.append((env.idx, segs, col[: len(segs)]))
 
     def clear_lines(self, viewer: Viewer):
         viewer.lines = []
@@ -2013,8 +2078,11 @@ class Gym:
         sim._ensure_built()
         cf = np.asarray(sim.sim.state.contact_force[env.idx])
         pts = np.asarray(sim.sim.state.body_pos[env.idx])
-        segs = np.stack([pts, pts + cf * scale], axis=1)
-        viewer.lines.append((segs.astype(np.float32), np.asarray([1.0, 0, 0])))
+        segs = np.stack([pts, pts + cf * scale], axis=1).astype(np.float32)
+        col = np.broadcast_to(
+            np.asarray([1.0, 0, 0], np.float32), (len(segs), 3)
+        )
+        viewer.lines.append((env.idx, segs, col))
 
     def draw_env_soft_contacts(self, viewer, env, color, scale, a: bool, b: bool):
         """Line segments along surface-triangle normals scaled by contact
@@ -2048,7 +2116,8 @@ class Gym:
             if hasattr(color, "x")
             else np.asarray(color, np.float32)
         )
-        viewer.lines.append((segs.astype(np.float32), col))
+        col = np.broadcast_to(col.reshape(-1, 3)[:1], (len(segs), 3))
+        viewer.lines.append((env.idx, segs.astype(np.float32), col))
 
 
 def _prim_opts(o: AssetOptions) -> dict:

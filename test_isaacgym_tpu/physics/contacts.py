@@ -287,7 +287,8 @@ class ContactSolver:
                 "Raise max_pair_shapes explicitly if the memory is acceptable."
             )
         # SDF pair directions, appended in ROW ORDER (each entry = one group
-        # of _SDF_MANIFOLD K_PT_SDF rows): (grid index, probe array (P,3))
+        # of _SDF_MANIFOLD K_PT_SDF rows): (grid index, probe array (P,3),
+        # analytic fn or None)
         sdf_pair_meta: List[tuple] = []
 
         def _has_sdf(s):
@@ -313,8 +314,24 @@ class ContactSolver:
             if sh.kind[sj] == SHAPE_MESH and _has_sdf(si) and _probes_of(sj) is not None:
                 sdf_dirs.append((sj, ej, si, ei))
             if sdf_dirs:
+                # Direction policy: when a side's SDF has a closed form the
+                # probe-vs-analytic direction is exact AND gather-free (pure
+                # fused VPU math), so the reverse probe-vs-voxel direction
+                # adds only voxelization noise at ~80 elements/us gather
+                # cost (r5 profile: 8 corner gathers were 93% of the
+                # nut_bolt step). Keep only analytic-target directions when
+                # any exist; voxel<->voxel pairs stay bidirectional.
+                ana = [
+                    d for d in sdf_dirs
+                    if scene.sdfs[int(sh.sdf_id[d[2]])].analytic is not None
+                ]
+                if ana and not scene.sim_params.physx.sdf_bidirectional:
+                    sdf_dirs = ana
                 for sa, ea, sb_, eb in sdf_dirs:
-                    sdf_pair_meta.append((int(sh.sdf_id[sb_]), _probes_of(sa)))
+                    gi = int(sh.sdf_id[sb_])
+                    sdf_pair_meta.append(
+                        (gi, _probes_of(sa), scene.sdfs[gi].analytic)
+                    )
                     for c in range(_SDF_MANIFOLD):
                         rows.append((ea, eb, K_PT_SDF, sa, sb_, c))
                 continue
@@ -434,30 +451,58 @@ class ContactSolver:
 
         # --- SDF tables (SURVEY.md N9): one stacked (K, R, R, R) grid array;
         # per-pair probe sets padded to a common length ---
+        self.sdf_probes = None
         if sdf_pair_meta:
-            grids = scene.sdfs
-            R = grids[0].data.shape[0]
-            assert all(
-                g.data.shape == (R, R, R) for g in grids
-            ), "all SDF grids in a scene must share one resolution"
-            self.sdf_data = jnp.asarray(
-                np.stack([g.data for g in grids]), jnp.float32
-            )
-            self.sdf_origin = np.stack([g.origin for g in grids]).astype(np.float32)
-            self.sdf_spacing = np.stack([g.spacing for g in grids]).astype(
-                np.float32
-            )
-            self.sdf_pair_grid = np.asarray(
-                [m[0] for m in sdf_pair_meta], np.int32
-            )
+            # Partition pair directions into evaluation families: voxel
+            # rows gather from the stacked grid; analytic rows re-evaluate
+            # their closed form inline (one family per distinct fn).
+            voxel_q = [
+                qi for qi, m in enumerate(sdf_pair_meta) if m[2] is None
+            ]
+            self.sdf_voxel_q = np.asarray(voxel_q, np.int32)
+            ana_groups: dict = {}
+            for qi, m in enumerate(sdf_pair_meta):
+                if m[2] is not None:
+                    ana_groups.setdefault(id(m[2]), (m[2], []))[1].append(qi)
+            self.sdf_analytic_groups = [
+                (fn, np.asarray(qs, np.int32))
+                for fn, qs in ana_groups.values()
+            ]
+            if voxel_q:
+                # stack only the grids voxel rows reference (analytic-only
+                # grids never upload their 8 MB of voxels)
+                gids = sorted({sdf_pair_meta[qi][0] for qi in voxel_q})
+                remap = {g: i for i, g in enumerate(gids)}
+                grids = [scene.sdfs[g] for g in gids]
+                R = grids[0].data.shape[0]
+                assert all(
+                    g.data.shape == (R, R, R) for g in grids
+                ), "all SDF grids in a scene must share one resolution"
+                self.sdf_data = jnp.asarray(
+                    np.stack([g.data for g in grids]), jnp.float32
+                )
+                self.sdf_origin = np.stack(
+                    [g.origin for g in grids]
+                ).astype(np.float32)
+                self.sdf_spacing = np.stack(
+                    [g.spacing for g in grids]
+                ).astype(np.float32)
+                self.sdf_voxel_grid = np.asarray(
+                    [remap[sdf_pair_meta[qi][0]] for qi in voxel_q], np.int32
+                )
             pmax = max(len(m[1]) for m in sdf_pair_meta)
+            # round up to a multiple of the manifold size: selection is
+            # strided-grouped (slot m picks over probes {g*M + m}), so pmax
+            # must factor as G*M
+            M = _SDF_MANIFOLD
+            pmax = -(-pmax // M) * M
             probes = []
-            for _, pr in sdf_pair_meta:
+            for _, pr, _fn in sdf_pair_meta:
                 pr = np.asarray(pr, np.float32)
                 if len(pr) < pmax:
                     # pad with a FAR sentinel (outside any grid -> phi >> 0,
-                    # never a contact). Tiling a real probe would let top_k
-                    # fill several manifold slots with one duplicated point,
+                    # never a contact). Tiling a real probe would let the
+                    # manifold fill several slots with one duplicated point,
                     # concentrating duplicate impulses there (ADVICE r2).
                     far = np.full((pmax - len(pr), 3), 1e3, np.float32)
                     pr = np.concatenate([pr, far], 0)
@@ -858,7 +903,7 @@ class ContactSolver:
                 put, pa, qa, pb, qb, size_a, size_b, None, ground_sdf, params,
             )
 
-        if self.sdf_data is not None:
+        if self.sdf_probes is not None:
             self._sdf_narrowphase(put, pa, qa, pb, qb, size_a, size_b)
 
         if acc:
@@ -893,6 +938,10 @@ class ContactSolver:
             normal = jnp.zeros((N, C, 3), body_pos.dtype)
             depth = jnp.full((N, C), -1.0, body_pos.dtype)
 
+        from ..utils import debug as _debug
+
+        if _debug.enabled():  # TIG_DEBUG trace-time invariants (§5.2)
+            _debug.assert_contact_tables(point, normal, depth, N, C)
         active = depth > -self.scene.sim_params.physx.contact_offset
         return point, normal, depth, active
 
@@ -904,10 +953,17 @@ class ContactSolver:
         /root/reference/examples/franka_nut_bolt_ik_osc.py:215-236).
 
         Each K_PT_SDF group is _SDF_MANIFOLD rows for one (probing mesh,
-        SDF mesh) direction: all P probe points of side a are pushed through
-        side b's voxel SDF (pure gathers + trilinear interpolation, fused by
-        XLA into the narrowphase), and the deepest _SDF_MANIFOLD land in the
-        rows."""
+        SDF mesh) direction: all P probe points of side a are pushed
+        through side b's signed-distance field. Fields come in two
+        families (partitioned at build time): voxel grids (gathers +
+        trilinear interpolation) and closed forms (re-evaluated inline —
+        pure VPU math the r5 profile showed is ~100x cheaper than the
+        equivalent grid gathers). Manifold selection is strided-grouped:
+        slot m takes the deepest probe among {g*M + m : g}, an argmin +
+        one-hot reduce instead of a (N, Q, 256) sort (the sort was 6 ms of
+        an 11 ms non-gather step; FPS probe ordering makes each stride a
+        well-spread surface subsample, so the manifold still covers the
+        contact patch)."""
         job = self.job
         sh = self.scene.shapes
         i0 = np.nonzero((job.kind == K_PT_SDF) & (job.slot == 0))[0]
@@ -926,26 +982,52 @@ class ContactSolver:
         rel = quat_rotate(
             _qconj(qb[:, i0, None]), w - pb[:, i0, None]
         ) / jnp.clip(sig_b[:, :, None], 1e-6)
-        phi, n_loc = _sdf_trilinear(
-            self.sdf_data,
-            self.sdf_origin,
-            self.sdf_spacing,
-            self.sdf_pair_grid,
-            rel,
-        )
+        # evaluate each family on its static q-slice, then reassemble
+        fams = []  # (q_indices, phi (N, q, P), n_loc (N, q, P, 3))
+        if len(self.sdf_voxel_q):
+            qv = self.sdf_voxel_q
+            phi_v, n_v = _sdf_trilinear(
+                self.sdf_data,
+                self.sdf_origin,
+                self.sdf_spacing,
+                self.sdf_voxel_grid,
+                rel[:, qv],
+            )
+            fams.append((qv, phi_v, n_v))
+        for fn, qs in self.sdf_analytic_groups:
+            rel_q = rel[:, qs]
+            phi_q = fn(rel_q)
+            g = jax.grad(lambda r, f=fn: f(r).sum())(rel_q)
+            n_q = g / jnp.linalg.norm(g, axis=-1, keepdims=True).clip(1e-9)
+            fams.append((qs, phi_q, n_q))
+        qcat = np.concatenate([f[0] for f in fams])
+        if len(fams) == 1 and np.array_equal(qcat, np.arange(len(i0))):
+            phi, n_loc = fams[0][1], fams[0][2]
+        else:
+            inv = np.argsort(qcat)
+            phi = jnp.concatenate([f[1] for f in fams], 1)[:, inv]
+            n_loc = jnp.concatenate([f[2] for f in fams], 1)[:, inv]
         phi = phi * jnp.mean(sig_b, -1)[..., None]  # uniform-scale approx
         n_w = quat_rotate(qb[:, i0, None], n_loc)
-        vals, ti = jax.lax.top_k(-phi, M)  # deepest probes
-        # one-hot selection (TPU: argsorted gathers are ~40 elems/us)
-        P = phi.shape[-1]
-        oh = (ti[..., None] == jnp.arange(P)[None, None, None]).astype(w.dtype)
+        N, Q, P = phi.shape
+        G = P // M
+        phi_g = phi.reshape(N, Q, G, M)  # [g, m] = probe g*M + m
+        ti = jnp.argmin(phi_g, 2)  # deepest per stride -> (N, Q, M)
+        oh = (ti[:, :, None] == jnp.arange(G)[None, None, :, None]).astype(
+            w.dtype
+        )  # (N, Q, G, M), exactly one g per slot (argmin breaks ties)
+        vals = -jnp.sum(phi_g * oh, 2)  # depth = -phi, (N, Q, M)
         pts = jnp.stack(
-            [jnp.sum(oh * w[..., k][:, :, None, :], -1) for k in range(3)], -1
+            [jnp.sum(oh * w[..., k].reshape(N, Q, G, M), 2) for k in range(3)],
+            -1,
         )
         nrm = jnp.stack(
-            [jnp.sum(oh * n_w[..., k][:, :, None, :], -1) for k in range(3)], -1
+            [
+                jnp.sum(oh * n_w[..., k].reshape(N, Q, G, M), 2)
+                for k in range(3)
+            ],
+            -1,
         )
-        N, Q = vals.shape[:2]
         idx = np.stack([i0 + s for s in range(M)], 1).ravel()
         # pts/nrm/vals are (N, Q, M, .): reshape is q-major, matching idx
         put(

@@ -132,6 +132,9 @@ class Stepper:
         self.h = sp.dt / self.substeps
         px = sp.physx
         self.solver_iters = max(px.num_position_iterations, 4)
+        from ..utils import debug as _debug
+
+        self.debug = _debug.enabled()  # TIG_DEBUG=1 (SURVEY §5.2)
 
     # ------------------------------------------------------------------
     def step(self, state: SimState, actions: Actions, params: PhysParams) -> SimState:
@@ -148,10 +151,14 @@ class Stepper:
         warm = (
             (state.warm_n, state.warm_t) if state.warm_n is not None else None
         )
-        for _ in range(self.substeps):
+        for sub_i in range(self.substeps):
             state, warm = self._substep(
                 state, actions, params, reuse_body_state=first, warm=warm
             )
+            if self.debug:
+                from ..utils.debug import check_finite
+
+                check_finite(state, f"substep {sub_i}")
             if self.soft is not None:
                 # one-way coupled FEM solve (physics/soft.py): soft verts see
                 # this substep's rigid poses (body cache refreshes at step

@@ -7,10 +7,12 @@ semantics (boxes lifted above 0.6 are deliberately dropped and retried).
 """
 import jax
 import numpy as np
+import pytest
 
 from test_isaacgym_tpu.envs.franka_cube import FrankaCubeEnv, TABLE_DIMS
 
 
+@pytest.mark.slow
 def test_franka_cube_lift():
     env = FrankaCubeEnv(num_envs=8, controller="ik")
     final, (gripped, boxz) = jax.jit(lambda s: env.rollout(500, s))(env.init_state)
@@ -28,6 +30,7 @@ def test_franka_cube_lift():
     assert (g[-50:].mean(0) > 0.9).sum() >= 6
 
 
+@pytest.mark.slow
 def test_finger_cube_force_symmetry():
     """While squeezing, the cube feels the fingers and the fingers feel the
     cube (net contact force appears on BOTH articulation links and the free

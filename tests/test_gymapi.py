@@ -169,6 +169,7 @@ def test_dof_position_drive_cartpole(gym):
 
 
 # -- attractor (examples/franka_attractor.py:89-173) --------------------------
+@pytest.mark.slow
 def test_franka_attractor_tracks_target(gym):
     sim = gym.create_sim(0, 0, gymapi.SIM_PHYSX, gymapi.SimParams())
     gym.add_ground(sim, gymapi.PlaneParams())

@@ -51,6 +51,7 @@ def test_sharded_step_matches_single_device(env8):
     assert "env" in str(out.root_pos.sharding.spec)
 
 
+@pytest.mark.slow
 def test_full_control_step_shards(env8):
     """The FULL training step (jacobian/mass-matrix OSC control + physics)
     under shard_map — the dryrun_multichip path."""
@@ -117,6 +118,7 @@ def test_scaling_efficiency_smoke(env8):
     assert sharded_dt < 60.0  # it ran; real scaling numbers come from TPU
 
 
+@pytest.mark.slow
 def test_in_program_obs_gather(env8):
     """The learner gather as an IN-PROGRAM collective: rollout under
     shard_map, all_gather(obs) inside the scan body (VERDICT r2: obs_gather

@@ -48,6 +48,7 @@ def test_neighbor_world_selected_and_static_table_empty():
     assert cs.num_contacts == 0  # nothing left for the static table
 
 
+@pytest.mark.slow
 def test_1080_box_world_builds_and_settles():
     """1080 boxes in ONE collision group (static table would need ~582k
     pairs) must build and settle to rest on the ground."""

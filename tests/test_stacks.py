@@ -7,6 +7,7 @@ density per level, substeps 6, 100 position iterations).
 """
 import jax
 import numpy as np
+import pytest
 
 from test_isaacgym_tpu.assets import create_box, create_sphere
 from test_isaacgym_tpu.core.config import PlaneParams, SimParams
@@ -69,6 +70,7 @@ def test_ball_pyramid_settles():
     assert vz.max() < 4.0, vz.max()  # nothing energetically bouncing
 
 
+@pytest.mark.slow
 def test_large_mass_ratio_stack():
     """5-box stack, 10x density per level (1..10^4 kg/m^3): stays standing
     for 300 steps (reference: substeps 6, 100 position iterations)."""
@@ -112,6 +114,7 @@ def test_large_mass_ratio_stack():
     assert v < 0.3, v
 
 
+@pytest.mark.slow
 def test_uniform_stack_warm_start_low_iters():
     """Cross-step warm starting (physx.warm_start_contacts) lets a uniform
     5-box stack stand at num_position_iterations=4 with LESS penetration

@@ -76,6 +76,7 @@ def test_box_rests_on_plane():
     assert abs(quat[3]) > 0.99  # didn't topple
 
 
+@pytest.mark.slow
 def test_sphere_sphere_stack():
     ball = create_sphere(0.2, density=1000.0)
     scene, stepper, state, actions, params = build(
@@ -127,6 +128,7 @@ def test_cartpole_pd_position_drive():
     np.testing.assert_allclose(ang_err, 0.0, atol=0.2)
 
 
+@pytest.mark.slow
 def test_stiff_pd_stable():
     """Stiffness 1e6 at dt=1/60 must not explode (implicit PD)."""
     fr = load_urdf(ROOT, "urdf/franka_description/robots/franka_panda.urdf",

@@ -5,6 +5,7 @@ loaded with vhacd_enabled produces multiple convex hull shapes, the hulls are
 cached, and the resulting body collides as hulls (not a bounding box).
 """
 import numpy as np
+import pytest
 
 from test_isaacgym_tpu import gymapi
 from test_isaacgym_tpu.core.scene import SHAPE_MESH, SceneBuilder
@@ -43,6 +44,7 @@ def test_vhacd_roundtrip_cache():
         np.testing.assert_array_equal(x, y)
 
 
+@pytest.mark.slow
 def test_decomposed_hulls_are_contact_shapes():
     """The scene registers one hull per decomposed piece and the contact
     solver consumes them (hull kinds, not AABB boxes)."""
