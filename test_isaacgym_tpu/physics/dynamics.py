@@ -46,15 +46,34 @@ def link_world_inertia(topo: ArtTopo, quat, mass=None, com=None, inertia=None):
     m = topo.mass if mass is None else mass
     c_l = topo.com if com is None else com
     i_l = topo.inertia if inertia is None else inertia
+    # COMPONENT FORM (PERF_NOTES rule 4): the former
+    # einsum("...ij,...jk,...lk->...il", R, I, R) lowered as bf16
+    # convolutions over (N, Ls, 3, 3) plus ~6 layout copies — about half
+    # the flagship step's device time (r5 profile). Unrolled multiply-add
+    # chains over (..., Ls) components fuse instead.
     R = quat_to_matrix(quat)  # (..., Ls, 3, 3)
-    com_w = jnp.einsum("...ij,...j->...i", R, jnp.broadcast_to(c_l, R.shape[:-2] + (3,)))
-    ic_w = jnp.einsum(
-        "...ij,...jk,...lk->...il",
-        R,
-        jnp.broadcast_to(i_l, R.shape[:-2] + (3, 3)),
-        R,
-    )
-    m = jnp.broadcast_to(m, R.shape[:-2])
+    com_w = quat_rotate(quat, jnp.broadcast_to(c_l, quat.shape[:-1] + (3,)))
+    Ib = jnp.broadcast_to(i_l, quat.shape[:-1] + (3, 3))
+    Rc = [[R[..., a, b] for b in range(3)] for a in range(3)]
+    Ic = [[Ib[..., a, b] for b in range(3)] for a in range(3)]
+    B = [
+        [sum(Rc[a][k] * Ic[k][b] for k in range(3)) for b in range(3)]
+        for a in range(3)
+    ]  # R @ I
+    ic_w = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    sum(B[a][k] * Rc[b][k] for k in range(3))
+                    for b in range(3)
+                ],
+                -1,
+            )
+            for a in range(3)
+        ],
+        -2,
+    )  # (R I) @ R^T
+    m = jnp.broadcast_to(m, quat.shape[:-1])
     return m, com_w, ic_w
 
 

@@ -46,9 +46,9 @@ def main():
         state = run(env.sim.state)
     elif cfg == "franka_cube":
         from test_isaacgym_tpu.envs.franka_cube import FrankaCubeEnv
-        env = FrankaCubeEnv(num_envs=n)
-        run = jax.jit(env.rollout_fn(steps), donate_argnums=0)
-        state = run(env.sim.state)
+        env = FrankaCubeEnv(num_envs=n, controller="osc")
+        run = jax.jit(lambda s: env.rollout(steps, s)[0])
+        state = run(env.init_state)
     elif cfg == "franka":
         from test_isaacgym_tpu.envs.franka import FrankaOscEnv
         env = FrankaOscEnv(num_envs=n)
