@@ -309,6 +309,15 @@ class BoltSpec(NamedTuple):
     head_r: float = 3.5e-3  # hex head circumradius
     head_h: float = 2.8e-3  # head height (below z=0)
     scale: float = 1.0  # 5.0 for the *_5x assets
+    # conical lead-in at the free end, in pitches: the thread radius
+    # tapers below the minor radius so a nut dropped a few mm off-center
+    # self-centers onto the taper and the first turn catches (the
+    # blind-placement FSM needs this exactly like real hardware does;
+    # without it the dropped nut bounces off the flat tip — r5 e2e probe).
+    # Default 0: the short M4x8 shank is only ~2.5 nut-heights long, so a
+    # chamfer overlaps the kinematic-spin env's engaged nut and loosens
+    # its fit; only the arm-driven placement env opts in.
+    tip_chamfer: float = 0.0
 
 
 def bolt_sdf_fn(spec: BoltSpec):
@@ -335,6 +344,12 @@ def bolt_sdf_fn(spec: BoltSpec):
         u = xp.mod(z - pitch * theta / (2 * np.pi) - crest, pitch)
         du = xp.minimum(u, pitch - u)  # distance to crest phase
         r_thread = xp.clip(major - slope * du, minor, major)
+        if spec.tip_chamfer > 0:
+            ch = spec.tip_chamfer * pitch
+            r_tip = major - (major - 0.6 * minor) * xp.clip(
+                (z - (length - ch)) / ch, 0.0, 1.0
+            )
+            r_thread = xp.minimum(r_thread, r_tip)
         # radial distance to the thread surface; axial caps
         d_side = rho - r_thread
         d_cap = xp.maximum(z - length, -z - head_h)
@@ -370,6 +385,12 @@ def bolt_mesh(spec: BoltSpec, n_theta: int = 48, n_z: int = 160):
     u = np.mod(Z - pitch * T / (2 * np.pi) - crest, pitch)
     du = np.minimum(u, pitch - u)
     R = np.clip(major - slope * du, minor, major)
+    if spec.tip_chamfer > 0:  # conical lead-in, matching bolt_sdf_fn
+        ch = spec.tip_chamfer * pitch
+        r_tip = major - (major - 0.6 * minor) * np.clip(
+            (Z - (length - ch)) / ch, 0.0, 1.0
+        )
+        R = np.minimum(R, r_tip)
     X, Y = R * np.cos(T), R * np.sin(T)
     verts = np.stack([X, Y, Z], -1).reshape(-1, 3)
 

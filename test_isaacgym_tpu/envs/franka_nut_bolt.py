@@ -90,7 +90,9 @@ class FrankaNutBoltEnv:
         sp.physx.contact_offset = 0.005  # :234
         sp.physx.contact_slop = 5e-4
 
-        spec = BoltSpec(scale=5.0)
+        # tip_chamfer: conical lead-in so the blindly placed nut
+        # self-centers and the first thread catches (assets/sdf.BoltSpec)
+        spec = BoltSpec(scale=5.0, tip_chamfer=1.5)
         s = spec.scale
         l, hh, hr = spec.length * s, spec.head_h * s, spec.head_r * s
         self.bolt_half_z = (l + hh) * 0.5
@@ -163,7 +165,11 @@ class FrankaNutBoltEnv:
             )
             fn = bolt_sdf_fn(spec)
             pitch = spec.pitch * s
-            top = hh + l - float(probes_root[:, 2].max()) - 1.0 * pitch
+            # below the tip chamfer zone, so the primed nut's whole height
+            # engages full-depth thread
+            top = hh + l - float(probes_root[:, 2].max()) - (
+                spec.tip_chamfer + 1.0
+            ) * pitch
             zs = np.arange(top - pitch / 2, top + pitch / 2, pitch / 64)
             clear = np.array(
                 [
@@ -292,6 +298,7 @@ class FrankaNutBoltEnv:
         sl = slice(self.dof0, self.dof0 + 9)
         dof_pos = st.dof_pos[:, sl]
         grip_sep = dof_pos[:, 7] + dof_pos[:, 8]
+        grip_vel = st.dof_vel[:, sl][:, 7] + st.dof_vel[:, sl][:, 8]
 
         def onehot(s):
             return fsm == s
@@ -301,6 +308,24 @@ class FrankaNutBoltEnv:
         nut_bolt_z = bolt_p.at[:, 2].set(nut_p[:, 2])  # [bolt_x, bolt_y, nut_z]
         lift_p = nut_p.at[:, 2].set(bolt_p[:, 2] + 0.004)
         screw_q = quat_mul(_z_quat(ang), dq)
+        # light axial press while turning: the hand z-target tracks the
+        # nut, so without a bias the finger friction HOLDS the nut at the
+        # bolt top and the thread never catches (crest rides crest
+        # indefinitely — r5 e2e probe: 20 s of S_SCREW cycles at frozen
+        # z). Pressing ~3 mm below the tracked height drops the nut into
+        # the thread the moment the phases align, like a human thumb on a
+        # loose nut; the SDF contact supports it the rest of the turn.
+        press = jnp.array([0.0, 0.0, 3e-3])
+        # carry correction: while the nut is in hand, steer the NUT onto
+        # the bolt axis, not the hand — the grip is eccentric (the nut
+        # settles off the palm center by up to tens of mm), so targeting
+        # the hand at bolt_xy left the nut spinning beside the bolt
+        # (r5 e2e probe: nut 56 mm off-axis through 40 s of S_SCREW)
+        # ONLY in the transfer states (nut hanging in the gripper): in the
+        # loosen/screw family the hand targets track the nut itself, and
+        # adding carry there turns the target into a fixed point at the
+        # hand's own position (the start_on_bolt approach never descends)
+        carry = (hand_p - nut_p) * jnp.array([1.0, 1.0, 0.0])
         tgt_pos = jnp.select(
             [onehot(s)[:, None] for s in range(11)],
             [
@@ -308,26 +333,42 @@ class FrankaNutBoltEnv:
                 nut_p + self.grip_off,
                 nut_p + self.grip_off,
                 lift_p + self.lift_off,
-                bolt_p + self.above_bolt_off,
+                bolt_p + self.above_bolt_off + carry,
+                bolt_p + self.on_bolt_off + carry,
                 bolt_p + self.on_bolt_off,
-                bolt_p + self.on_bolt_off,
-                nut_bolt_z + self.grip_off,
+                nut_bolt_z + self.grip_off - press,
                 nut_bolt_z + self.grip_off,
                 nut_bolt_z + self.grip_off,
                 nut_bolt_z + self.grip_off,
             ],
         )
-        grab_q = quat_mul(nut_q, jnp.broadcast_to(self.nut_grab_q, (N, 4)))
+        # grab orientation: align pads to the nut flats, exploiting hex
+        # symmetry — wrap the nut yaw into [-30, 30) deg so the wrist
+        # twist target never exceeds the joint limit (a 148-deg nut yaw
+        # asked for a 178-deg wrist twist, unreachable: the pads closed
+        # 12 deg off the flats and the nut squirted out every try, r5 e2e)
+        nut_yaw = jnp.arctan2(
+            2 * (nut_q[:, 3] * nut_q[:, 2] + nut_q[:, 0] * nut_q[:, 1]),
+            1 - 2 * (nut_q[:, 1] ** 2 + nut_q[:, 2] ** 2),
+        )
+        wrapped = jnp.mod(nut_yaw + np.pi / 6, np.pi / 3) - np.pi / 6
+        grab_q = quat_mul(
+            _z_quat(wrapped), jnp.broadcast_to(self.nut_grab_q, (N, 4))
+        )
         tgt_q = jnp.select(
             [onehot(s)[:, None] for s in range(11)],
             [dq, grab_q, grab_q, dq, dq, dq, dq,
              screw_q, screw_q, screw_q, screw_q],
         )
         ss = self.screw_sep
+        # S_LOOSEN opens WIDE (not just to screw_sep): the released nut
+        # needs lateral slack to self-center on the bolt's tip chamfer —
+        # at screw_sep the fingers box it 0.25 mm from wherever the hand
+        # happened to be and it wedges on the taper one-sided (r5 probe)
         tgt_sep = jnp.select(
             [onehot(s) for s in range(11)],
             [jnp.full(N, v) for v in
-             (0.08, 0.08, 0.0, 0.0, 0.0, 0.0, ss, ss, 0.06, 0.06, ss)],
+             (0.08, 0.08, 0.0, 0.0, 0.0, 0.0, 0.05, ss, 0.06, 0.06, ss)],
         )
 
         pos_err = tgt_pos - hand_p
@@ -335,9 +376,21 @@ class FrankaNutBoltEnv:
         dpose = jnp.concatenate([pos_err, orn_err], axis=-1)
         err = jnp.linalg.norm(dpose, axis=-1)
 
-        # transitions (reference thresholds)
+        # transitions (reference thresholds). Nut-carrying states use a
+        # looser bar: with the nut's weight in the gripper the OSC
+        # steady-state error can exceed 2 mm and S_LIFT/S_ABOVE_BOLT wedge
+        # forever at err ~3-5 mm (r5 e2e probe, env 1 stuck 60 s in LIFT)
         small = err < 2e-3
-        gripped = grip_sep < 0.035
+        small_carry = err < 8e-3
+        # a real grasp: fingers stopped ON the nut (35 mm across flats at
+        # 5x), not still closing and not closed through air. Lifting at
+        # first touch (sep just under 35 mm, squeeze force not yet built)
+        # yanked the nut out of the fingers (r5 e2e probe, env 0)
+        gripped = (
+            (grip_sep < 0.035)
+            & (grip_sep > 0.015)
+            & (jnp.abs(grip_vel) < 5e-3)
+        )
         un37 = grip_sep > self.screw_sep * 0.95
         un60 = grip_sep > 0.06 * 0.98
         re37 = grip_sep < self.screw_sep * 1.06
@@ -345,9 +398,17 @@ class FrankaNutBoltEnv:
         nxt = jnp.where(onehot(S_ABOVE_NUT) & small, S_PREP_GRIP, nxt)
         nxt = jnp.where(onehot(S_PREP_GRIP) & small, S_GRIP, nxt)
         nxt = jnp.where(onehot(S_GRIP) & (err < 1e-2) & gripped, S_LIFT, nxt)
-        nxt = jnp.where(onehot(S_LIFT) & small, S_ABOVE_BOLT, nxt)
-        nxt = jnp.where(onehot(S_ABOVE_BOLT) & small, S_ON_BOLT, nxt)
-        nxt = jnp.where(onehot(S_ON_BOLT) & small, S_LOOSEN, nxt)
+        # missed grasp (fingers closed through air): reopen and retry
+        nxt = jnp.where(onehot(S_GRIP) & (grip_sep < 0.012), S_ABOVE_NUT, nxt)
+        nxt = jnp.where(onehot(S_LIFT) & small_carry, S_ABOVE_BOLT, nxt)
+        nxt = jnp.where(onehot(S_ABOVE_BOLT) & small_carry, S_ON_BOLT, nxt)
+        # release over the bolt only when the NUT's hole is actually over
+        # the shank (hole clearance ~1.5 mm at 5x): releasing at the 8 mm
+        # hand-error gate parked the nut beside the bolt (r5 e2e probe)
+        nut_ax = jnp.linalg.norm((nut_p - bolt_p)[:, :2], axis=-1)
+        nxt = jnp.where(
+            onehot(S_ON_BOLT) & small_carry & (nut_ax < 3e-3), S_LOOSEN, nxt
+        )
         loosen_done = onehot(S_LOOSEN) & small & un37
         nxt = jnp.where(loosen_done, S_SCREW, nxt)
         screw_done = onehot(S_SCREW) & (ang < -self.screw_limit)
@@ -371,7 +432,13 @@ class FrankaNutBoltEnv:
         # centimeter-scale position error and the hand orbits 5+ mm off the
         # bolt axis during screw_motion — enough for the 0.25 mm flat
         # squeeze to miss the nut entirely (measured)
-        dpose_w = jnp.concatenate([pos_err * 3.0, orn_err], axis=-1)
+        # rate-limit the translation command: full-error IK steps send the
+        # arm dashing between waypoints and the swing shears the nut out
+        # of the force-limited fingers mid-transfer (r5 e2e probe); 2 cm
+        # per step keeps the carry quasi-static
+        pn = jnp.linalg.norm(pos_err, axis=-1, keepdims=True)
+        pos_cmd = pos_err * jnp.minimum(1.0, 0.02 / pn.clip(1e-9))
+        dpose_w = jnp.concatenate([pos_cmd * 3.0, orn_err], axis=-1)
         u = control_ik(j_eef, dpose_w, damping=self.ik_damping)
         arm_target = dof_pos[:, :7] + u
         grip_target = jnp.broadcast_to((0.5 * tgt_sep)[:, None], (N, 2))
