@@ -68,7 +68,7 @@ def _bench_franka_cube(num_envs, steps):
     from test_isaacgym_tpu.envs.franka_cube import FrankaCubeEnv
 
     env = FrankaCubeEnv(num_envs=num_envs, controller="osc")
-    run = jax.jit(lambda s: env.rollout(steps, s)[0])
+    run = jax.jit(lambda s: env.rollout(steps, s)[0], donate_argnums=0)
     state = run(env.init_state)
     jax.block_until_ready(state)
     t0 = time.perf_counter()
