@@ -672,6 +672,10 @@ class Gym:
                 **kw,
             )
         asset.disable_gravity = options.disable_gravity
+        # COMPUTE_PER_VERTEX (0, default) = smooth interpolated normals in
+        # the visual-mesh render pass; anything else = flat face normals
+        # (graphics_materials.py:30 mesh_normal_mode semantics)
+        asset.mesh_normal_mode = options.mesh_normal_mode
         asset.thickness = options.thickness
         asset.linear_damping = options.linear_damping
         asset.angular_damping = options.angular_damping

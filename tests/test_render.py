@@ -316,3 +316,45 @@ def test_add_lines_rasterize(gym):
     gym.render_all_camera_sensors(sim)
     again = gym.get_camera_image(sim, env, cam, gymapi.IMAGE_COLOR)
     assert np.array_equal(np.asarray(again), np.asarray(base))
+
+
+def test_mesh_normal_mode_flat_vs_smooth(gym):
+    """mesh_normal_mode: COMPUTE_PER_VERTEX (default) smooth-shades the
+    visual mesh; FROM_ASSET renders flat face normals
+    (/root/reference/examples/graphics_materials.py:30)."""
+    from test_isaacgym_tpu.assets import create_mesh_asset
+
+    v = np.array(
+        [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+        np.float32,
+    ) * 0.3
+    f = np.array(
+        [[0, 2, 4], [2, 1, 4], [1, 3, 4], [3, 0, 4],
+         [2, 0, 5], [1, 2, 5], [3, 1, 5], [0, 3, 5]], np.int32
+    )
+    imgs = {}
+    for mode in (0, 1):
+        sim = gym.create_sim(0, 0, gymapi.SIM_PHYSX, gymapi.SimParams())
+        mesh = create_mesh_asset("octn", v, f, density=100.0, fix_base_link=True)
+        mesh.mesh_normal_mode = mode
+        env = gym.create_env(sim, gymapi.Vec3(-1, -1, 0), gymapi.Vec3(1, 1, 2), 1)
+        gym.create_actor(
+            env, mesh, gymapi.Transform(gymapi.Vec3(0, 0, 1.0)), "o", 0, 0
+        )
+        cam = gym.create_camera_sensor(
+            env, gymapi.CameraProperties(width=64, height=64)
+        )
+        gym.set_camera_location(
+            cam, env, gymapi.Vec3(1.0, 0.4, 1.2), gymapi.Vec3(0, 0, 1.0)
+        )
+        gym.render_all_camera_sensors(sim)
+        imgs[mode] = (
+            gym.get_camera_image(sim, env, cam, gymapi.IMAGE_COLOR)
+            .reshape(64, 64, 4)[..., 0]
+            .astype(np.int32)
+        )
+    # smooth shading produces many more distinct intensities across the
+    # octahedron than 8 flat faces do
+    assert len(np.unique(imgs[0])) > len(np.unique(imgs[1])) + 8, (
+        len(np.unique(imgs[0])), len(np.unique(imgs[1])),
+    )
