@@ -336,6 +336,11 @@ class FrankaNutBoltEnv:
                 bolt_p + self.above_bolt_off + carry,
                 bolt_p + self.on_bolt_off + carry,
                 bolt_p + self.on_bolt_off,
+                # screw family: xy pinned to the bolt axis, z tracking the
+                # nut. (A pure nut-following hand was tried for lateral
+                # compliance and is UNSTABLE from a table start: nut
+                # drifts -> hand follows -> pushes it further, chasing the
+                # nut off the table — r5 probe.)
                 nut_bolt_z + self.grip_off - press,
                 nut_bolt_z + self.grip_off,
                 nut_bolt_z + self.grip_off,
